@@ -1,0 +1,23 @@
+"""Host-side tokenizers producing statically shaped id arrays (PAD=0)."""
+
+from .base import PAD_ID, TOKENIZER_REGISTRY, BaseTokenizer, build_tokenizer
+from .char import CharTokenizer
+from .word import WordTokenizer
+
+
+def tokenizer_from_state(state: dict) -> BaseTokenizer:
+    """Rebuild any registered tokenizer from its ``state_dict()``."""
+    kind = state.get("type", "char")
+    cls = TOKENIZER_REGISTRY.get(kind)
+    return cls.from_state_dict(state)
+
+
+__all__ = [
+    "PAD_ID",
+    "TOKENIZER_REGISTRY",
+    "BaseTokenizer",
+    "CharTokenizer",
+    "WordTokenizer",
+    "build_tokenizer",
+    "tokenizer_from_state",
+]
