@@ -37,6 +37,8 @@ def setup_logging(
     logger = logging.getLogger(ROOT_LOGGER_NAME)
     logger.setLevel(numeric_level)
     logger.handlers = []
+    # jax/absl attach a root handler; without this every record prints twice
+    logger.propagate = False
 
     formatter = logging.Formatter(_FORMAT)
     if console:
