@@ -108,6 +108,37 @@ def load_checkpoint(
     return state, load_metadata(path)
 
 
+def load_trained_model(checkpoint_path: str):
+    """Rebuild (params, spec, tokenizer, config) from a checkpoint directory.
+
+    This is the inference-side loader the reference lacks: its retrieval CLI
+    treats the stored ``state_dict`` as a live module and cannot actually run
+    (/root/reference/inference/cli/retrieve.py:74, SURVEY.md §5). Here the
+    sidecar metadata carries the config + tokenizer state, so the model is
+    re-initialised and the saved arrays restored onto it.
+    """
+    from ..models.towers import init_two_tower, spec_from_config
+    from ..tokenizers import tokenizer_from_state
+    from .optim import build_optimizer
+
+    meta = load_metadata(checkpoint_path)
+    if not meta.get("tokenizer") or meta.get("config") is None:
+        raise ValueError(
+            f"Checkpoint {checkpoint_path} lacks tokenizer/config metadata"
+        )
+    tokenizer = tokenizer_from_state(meta["tokenizer"])
+    config = meta["config"]
+    spec = spec_from_config(config, vocab_size=tokenizer.vocab_size)
+
+    import jax as _jax
+
+    params = init_two_tower(_jax.random.PRNGKey(0), spec)
+    optimizer = build_optimizer(config)
+    template = {"params": params, "opt_state": optimizer.init(params)}
+    state, _ = load_checkpoint(checkpoint_path, template)
+    return state["params"], spec, tokenizer, config
+
+
 def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Most recent checkpoint directory (by name timestamp), if any."""
     root = Path(checkpoint_dir)
