@@ -1,0 +1,257 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Property under test everywhere: sharded computation == single-device
+computation (SURVEY.md §4's multi-host test plan).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from twotowers_tpu.models import (
+    EmbeddingSpec,
+    TowerSpec,
+    TwoTowerSpec,
+    build_loss,
+    init_two_tower,
+)
+from twotowers_tpu.models.losses import in_batch_sampled_softmax_loss
+from twotowers_tpu.ops.topk_score import score_topk_xla
+from twotowers_tpu.parallel import (
+    create_sharded_train_state,
+    global_in_batch_loss,
+    make_mesh,
+    make_sharded_train_step,
+    pad_table_for_sharding,
+    shard_batch,
+    shard_params,
+    sharded_embed_ids,
+    sharded_topk_merge,
+)
+from twotowers_tpu.train import build_optimizer, create_train_state, make_train_step
+
+
+def _spec(vocab=50, dim=8, hidden=16, tied=True):
+    return TwoTowerSpec(
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab, embedding_dim=dim),
+        tower=TowerSpec(arch="mean", embedding_dim=dim, hidden_dim=hidden),
+        tied_weights=tied,
+    )
+
+
+class TestMesh:
+    def test_default_all_data(self):
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8
+        assert mesh.shape["model"] == 1
+
+    def test_2d_mesh(self):
+        mesh = make_mesh(data=4, model=2)
+        assert mesh.shape["data"] == 4
+        assert mesh.shape["model"] == 2
+
+    def test_submesh_allowed(self):
+        mesh = make_mesh(data=3, model=2)
+        assert mesh.shape["data"] == 3 and mesh.shape["model"] == 2
+
+    def test_oversized_mesh_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=5, model=2)
+
+
+class TestShardedEmbedding:
+    @pytest.mark.parametrize("model_axis", [2, 4])
+    def test_matches_dense_gather(self, np_rng, model_axis):
+        mesh = make_mesh(data=8 // model_axis, model=model_axis)
+        vocab, dim = 20, 8
+        table = np_rng.normal(size=(vocab, dim)).astype(np.float32)
+        padded = pad_table_for_sharding(jnp.asarray(table), model_axis)
+        ids = np_rng.integers(0, vocab, size=(8, 6)).astype(np.int32)
+
+        sharded_table = jax.device_put(padded, NamedSharding(mesh, P("model", None)))
+        sharded_ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+        out = jax.jit(
+            lambda t, i: sharded_embed_ids(t, i, mesh)
+        )(sharded_table, sharded_ids)
+        np.testing.assert_allclose(np.asarray(out), table[ids], rtol=1e-6)
+
+    def test_gradient_is_local_scatter_add(self, np_rng):
+        mesh = make_mesh(data=4, model=2)
+        vocab, dim = 16, 4
+        table = jnp.asarray(np_rng.normal(size=(vocab, dim)).astype(np.float32))
+        ids = jnp.asarray(np_rng.integers(0, vocab, size=(4, 3)).astype(np.int32))
+
+        def loss_sharded(t):
+            return jnp.sum(sharded_embed_ids(t, ids, mesh) ** 2)
+
+        def loss_dense(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+        g_sharded = jax.jit(jax.grad(loss_sharded))(table)
+        g_dense = jax.grad(loss_dense)(table)
+        np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_dense),
+                                   rtol=1e-5)
+
+
+class TestGlobalNegatives:
+    def test_matches_single_device_in_batch(self, np_rng):
+        """all-gathered global softmax == the same loss computed unsharded."""
+        mesh = make_mesh(data=4, model=1)
+        q = np_rng.normal(size=(16, 8)).astype(np.float32)
+        d = np_rng.normal(size=(16, 8)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        w = np.ones(16, np.float32)
+
+        loss_g, aux_g = jax.jit(
+            lambda q, d, w: global_in_batch_loss(q, d, w, mesh, 0.1)
+        )(q, d, w)
+        loss_l, aux_l = in_batch_sampled_softmax_loss(
+            jnp.asarray(q), jnp.asarray(d), jnp.asarray(w), temperature=0.1
+        )
+        np.testing.assert_allclose(float(loss_g), float(loss_l), rtol=1e-5)
+        np.testing.assert_allclose(float(aux_g["pos_similarity"]),
+                                   float(aux_l["pos_similarity"]), rtol=1e-5)
+        np.testing.assert_allclose(float(aux_g["neg_similarity"]),
+                                   float(aux_l["neg_similarity"]), rtol=1e-4)
+
+    def test_pad_rows_excluded_globally(self, np_rng):
+        mesh = make_mesh(data=4, model=1)
+        q = np_rng.normal(size=(16, 8)).astype(np.float32)
+        d = np_rng.normal(size=(16, 8)).astype(np.float32)
+        w = np.ones(16, np.float32)
+        w[12:] = 0.0  # an entire replica's rows are padding
+        loss_g, _ = jax.jit(
+            lambda q, d, w: global_in_batch_loss(q, d, w, mesh, 0.1)
+        )(q, d, w)
+        loss_l, _ = in_batch_sampled_softmax_loss(
+            jnp.asarray(q), jnp.asarray(d), jnp.asarray(w), temperature=0.1
+        )
+        np.testing.assert_allclose(float(loss_g), float(loss_l), rtol=1e-5)
+
+    def test_gradients_flow_through_all_gather(self, np_rng):
+        mesh = make_mesh(data=2, model=1)
+        q = jnp.asarray(np_rng.normal(size=(8, 4)).astype(np.float32))
+        d = jnp.asarray(np_rng.normal(size=(8, 4)).astype(np.float32))
+        w = jnp.ones(8, jnp.float32)
+
+        g_global = jax.jit(jax.grad(
+            lambda d: global_in_batch_loss(q, d, w, mesh, 0.1)[0]
+        ))(d)
+        g_local = jax.grad(
+            lambda d: in_batch_sampled_softmax_loss(q, d, w, temperature=0.1)[0]
+        )(d)
+        np.testing.assert_allclose(np.asarray(g_global), np.asarray(g_local),
+                                   rtol=1e-4, atol=1e-6)
+
+
+class TestShardedTopKMerge:
+    def test_exact_merge(self, np_rng):
+        mesh = make_mesh(data=1, model=4)
+        num_shards, q_count, k = 4, 3, 5
+        # per-shard top-k winners over disjoint doc ranges (global indices)
+        dense = np_rng.normal(size=(q_count, 4 * 64)).astype(np.float32)
+        shard_scores, shard_indices = [], []
+        for s in range(num_shards):
+            block = dense[:, s * 64:(s + 1) * 64]
+            sc, ix = jax.lax.top_k(jnp.asarray(block), k)
+            shard_scores.append(np.asarray(sc))
+            shard_indices.append(np.asarray(ix) + s * 64)
+        scores = np.concatenate(shard_scores, axis=1)     # (Q, S*k)
+        indices = np.concatenate(shard_indices, axis=1)
+        got_s, got_i = jax.jit(
+            lambda s, i: sharded_topk_merge(s, i, mesh, k)
+        )(scores, indices)
+        want_s, want_i = jax.lax.top_k(jnp.asarray(dense), k)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+class TestShardedTrainStep:
+    def _data(self, np_rng, n=32, seq=10, vocab=50):
+        q = np_rng.integers(1, vocab, size=(n, seq)).astype(np.int32)
+        p = np_rng.integers(1, vocab, size=(n, seq)).astype(np.int32)
+        neg = np_rng.integers(1, vocab, size=(n, seq)).astype(np.int32)
+        w = np.ones(n, np.float32)
+        return q, p, neg, w
+
+    @pytest.mark.parametrize("mesh_shape,loss", [
+        ((8, 1), "triplet"),
+        ((4, 2), "triplet"),
+        ((8, 1), "in_batch"),
+        ((4, 2), "in_batch"),
+        ((2, 4), "multiple_negatives"),
+    ])
+    def test_matches_single_device_first_step(self, np_rng, mesh_shape, loss):
+        """One sharded step == one unsharded step (same init, same batch)."""
+        spec = _spec()
+        params = init_two_tower(jax.random.PRNGKey(1), spec)
+        loss_def = build_loss(loss)
+        optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 0.01}})
+        q, p, n, w = self._data(np_rng)
+        negs = None if loss == "in_batch" else (
+            np.stack([n, n], axis=1) if loss == "multiple_negatives" else n
+        )
+
+        # materialise the sharded state first: the base step donates (and
+        # thus deletes) the original param buffers
+        mesh = make_mesh(*mesh_shape)
+        sharded_step = make_sharded_train_step(
+            spec, loss_def, optimizer, mesh, shard_vocab=True,
+            global_negatives=True,
+        )
+        state = create_sharded_train_state(
+            params, optimizer, mesh, rng=jax.random.PRNGKey(9))
+        batch = shard_batch(mesh, q, p, negs, w)
+
+        # single-device baseline from an independent (identical) init —
+        # replication may alias the original buffers, which donation deletes
+        params_base = init_two_tower(jax.random.PRNGKey(1), spec)
+        base_step = make_train_step(spec, loss_def, optimizer)
+        base_state = create_train_state(params_base, optimizer, jax.random.PRNGKey(9))
+        base_state, base_metrics = base_step(base_state, q, p, negs, w)
+
+        state, metrics = sharded_step(state, *batch)
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(base_metrics["loss"]), rtol=2e-4)
+        np.testing.assert_allclose(
+            float(metrics["grad_norm"]), float(base_metrics["grad_norm"]),
+            rtol=2e-3)
+        # updated tower params match (vocab table may be padded; compare towers)
+        got = np.asarray(state.params["query_tower"]["w1"])
+        want = np.asarray(base_state.params["query_tower"]["w1"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_table_sharding_preserved_after_step(self, np_rng):
+        spec = _spec()
+        params = init_two_tower(jax.random.PRNGKey(1), spec)
+        loss_def = build_loss("triplet")
+        optimizer = build_optimizer({})
+        mesh = make_mesh(data=4, model=2)
+        step = make_sharded_train_step(spec, loss_def, optimizer, mesh)
+        state = create_sharded_train_state(params, optimizer, mesh)
+        q, p, n, w = self._data(np_rng)
+        state, _ = step(state, *shard_batch(mesh, q, p, n, w))
+        sharding = state.params["embedding"]["table"].sharding
+        assert sharding.spec == P("model", None)
+
+    def test_multiple_steps_converge(self, np_rng):
+        spec = _spec()
+        params = init_two_tower(jax.random.PRNGKey(1), spec)
+        loss_def = build_loss("in_batch")
+        optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 0.01}})
+        mesh = make_mesh(data=4, model=2)
+        step = make_sharded_train_step(spec, loss_def, optimizer, mesh)
+        state = create_sharded_train_state(params, optimizer, mesh)
+        q, p, n, w = self._data(np_rng)
+        batch = shard_batch(mesh, q, p, None, w)
+        losses = []
+        for _ in range(15):
+            state, metrics = step(state, *batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]

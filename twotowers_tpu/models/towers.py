@@ -180,18 +180,24 @@ def _tower_params(params: Params, spec: TwoTowerSpec, tower: str) -> Params:
 
 
 def encode(params: Params, spec: TwoTowerSpec, ids: jnp.ndarray, tower: str = "query", *,
-           train: bool = False, dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+           train: bool = False, dropout_rng: Optional[jax.Array] = None,
+           embed_fn: Optional[Callable] = None) -> jnp.ndarray:
     """Encode a batch of id sequences with one tower.
 
     Args:
         ids: (batch, seq_len) int32 token ids, PAD=0.
         tower: 'query' or 'document'.
+        embed_fn: optional override for the embedding lookup with the same
+            signature as ``embeddings.embed_ids`` — used by the parallel
+            layer to swap in the row-sharded shard_map gather and by the
+            kernels layer for the fused Pallas gather.
 
     Returns:
         (batch, output_dim) float32 unit vectors.
     """
     _, tower_apply = TOWER_REGISTRY.get(spec.tower.arch)
-    embedded = embed_ids(params["embedding"], spec.embedding, ids, dtype=spec.compute_dtype)
+    lookup = embed_fn if embed_fn is not None else embed_ids
+    embedded = lookup(params["embedding"], spec.embedding, ids, dtype=spec.compute_dtype)
     pooled = masked_mean_pool(embedded, ids)
     return tower_apply(
         _tower_params(params, spec, tower), spec.tower, pooled,
