@@ -1,0 +1,136 @@
+"""Pallas kernel A/B tests against the XLA reference paths (interpret mode).
+
+On the CPU test platform the kernels run through the Pallas interpreter, so
+these tests prove kernel *semantics*; Mosaic compilation is exercised on the
+real chip by bench.py and the index engine.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from twotowers_tpu.kernels.pallas_embed_pool import embed_pool, fused_embed_pool
+from twotowers_tpu.kernels.pallas_topk import score_topk_pallas
+from twotowers_tpu.models import EmbeddingSpec, TowerSpec, TwoTowerSpec, init_two_tower
+from twotowers_tpu.models.towers import encode
+from twotowers_tpu.ops.core import masked_mean_pool
+from twotowers_tpu.ops.topk_score import score_topk_xla
+
+
+class TestEmbedPoolKernel:
+    def _reference(self, ids, table):
+        embedded = jnp.take(jnp.asarray(table), jnp.asarray(ids), axis=0)
+        return masked_mean_pool(embedded, jnp.asarray(ids))
+
+    @pytest.mark.parametrize("batch,seq,vocab,dim", [
+        (8, 12, 30, 16),
+        (16, 64, 96, 64),
+        (5, 7, 130, 8),   # vocab above one lane, odd batch
+    ])
+    def test_matches_gather_pool(self, np_rng, batch, seq, vocab, dim):
+        ids = np_rng.integers(0, vocab, size=(batch, seq)).astype(np.int32)
+        table = np_rng.normal(size=(vocab, dim)).astype(np.float32)
+        got = embed_pool(jnp.asarray(ids), jnp.asarray(table), 8, True)
+        want = self._reference(ids, table)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_all_pad_row(self):
+        ids = np.zeros((4, 6), np.int32)
+        table = np.ones((10, 8), np.float32)
+        got = embed_pool(jnp.asarray(ids), jnp.asarray(table), 8, True)
+        np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+    def test_gradient_matches_gather_pool(self, np_rng):
+        ids = np_rng.integers(0, 30, size=(8, 10)).astype(np.int32)
+        table = np_rng.normal(size=(30, 16)).astype(np.float32)
+        g_out = np_rng.normal(size=(8, 16)).astype(np.float32)
+
+        def loss_fused(t):
+            return jnp.sum(embed_pool(jnp.asarray(ids), t, 8, True) * g_out)
+
+        def loss_ref(t):
+            return jnp.sum(self._reference(ids, t) * g_out)
+
+        g_fused = jax.grad(loss_fused)(jnp.asarray(table))
+        g_ref = jax.grad(loss_ref)(jnp.asarray(table))
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_dispatcher_declines_big_vocab(self, np_rng):
+        ids = jnp.asarray(np_rng.integers(0, 10, size=(4, 6)).astype(np.int32))
+        table = jnp.zeros((3_000_000, 64), jnp.float32)  # ~768MB, over budget
+        assert fused_embed_pool(ids, table) is None
+
+    def test_encode_with_fused_flag_matches(self, rng, np_rng):
+        spec = TwoTowerSpec(
+            embedding=EmbeddingSpec(kind="lookup", vocab_size=40, embedding_dim=16),
+            tower=TowerSpec(arch="mean", embedding_dim=16, hidden_dim=32),
+            tied_weights=True,
+        )
+        fused_spec = TwoTowerSpec(
+            embedding=spec.embedding, tower=spec.tower, tied_weights=True,
+            fused_embed_pool=True,
+        )
+        params = init_two_tower(rng, spec)
+        ids = jnp.asarray(np_rng.integers(0, 40, size=(6, 12)).astype(np.int32))
+        base = encode(params, spec, ids, "query")
+        fused = encode(params, fused_spec, ids, "query")
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestTopKKernel:
+    @pytest.mark.parametrize("n,q,dim,k,tile", [
+        (512, 4, 32, 5, 128),
+        (1024, 16, 64, 10, 256),
+        (700, 3, 16, 7, 128),   # n not a multiple of tile
+    ])
+    def test_matches_xla(self, np_rng, n, q, dim, k, tile):
+        docs = np_rng.normal(size=(n, dim)).astype(np.float32)
+        queries = np_rng.normal(size=(q, dim)).astype(np.float32)
+        got = score_topk_pallas(
+            jnp.asarray(docs), jnp.asarray(queries), k, n,
+            tile_n=tile, interpret=True,
+        )
+        assert got is not None
+        got_s, got_i = got
+        want_s, want_i = score_topk_xla(jnp.asarray(docs), jnp.asarray(queries), k)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    def test_n_docs_masking(self, np_rng):
+        docs = np_rng.normal(size=(512, 16)).astype(np.float32)
+        docs[300:] = 50.0  # rows past n_docs carry huge scores
+        queries = np_rng.normal(size=(2, 16)).astype(np.float32)
+        got = score_topk_pallas(
+            jnp.asarray(docs), jnp.asarray(queries), 5, 300,
+            tile_n=128, interpret=True,
+        )
+        _, idx = got
+        assert np.asarray(idx).max() < 300
+
+    def test_declines_small_corpus(self, np_rng):
+        docs = jnp.asarray(np_rng.normal(size=(100, 8)).astype(np.float32))
+        queries = jnp.asarray(np_rng.normal(size=(2, 8)).astype(np.float32))
+        assert score_topk_pallas(docs, queries, 5, tile_n=2048) is None
+
+    def test_tie_break_matches_xla_first_occurrence(self):
+        docs = np.zeros((512, 8), np.float32)
+        docs[:, 0] = 1.0  # every doc scores identically
+        queries = np.zeros((1, 8), np.float32)
+        queries[0, 0] = 1.0
+        got = score_topk_pallas(
+            jnp.asarray(docs), jnp.asarray(queries), 4, 512,
+            tile_n=128, interpret=True,
+        )
+        _, idx = got
+        np.testing.assert_array_equal(np.asarray(idx)[0], [0, 1, 2, 3])
+
+    def test_registered_in_dispatcher(self, np_rng):
+        import twotowers_tpu.kernels  # noqa: F401  (registers the impl)
+        from twotowers_tpu.ops.topk_score import _pallas_impl
+
+        assert _pallas_impl is not None

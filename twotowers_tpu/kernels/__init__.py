@@ -1,0 +1,19 @@
+"""Pallas TPU kernels for the hot ops, with XLA reference paths kept in
+``ops/`` for correctness A/B (SURVEY.md §7.1).
+
+Importing this package registers the fused score+top-k kernel with the
+``ops.topk_score`` dispatcher, upgrading every index search path.
+"""
+
+from ..ops.topk_score import register_pallas_impl
+from .pallas_embed_pool import embed_pool, embed_pool_fits_vmem, fused_embed_pool
+from .pallas_topk import score_topk_pallas
+
+register_pallas_impl(score_topk_pallas)
+
+__all__ = [
+    "embed_pool",
+    "embed_pool_fits_vmem",
+    "fused_embed_pool",
+    "score_topk_pallas",
+]
