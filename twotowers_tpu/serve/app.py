@@ -1,0 +1,166 @@
+"""FastAPI inference service: /embed, /search, /add, /health.
+
+Capability parity with /root/reference/inference/docker/app.py:27-309 —
+model acquisition at startup (local checkpoint path or HF Hub repo), the
+same four endpoints and response shapes, defensive embedding-shape
+normalisation, and soft-fail startup. The vector backend is the in-process
+``VectorCollection`` (Chroma's role in the reference's compose stack);
+set ``CHROMA_HOST`` to use a real ChromaDB server instead when available.
+
+Environment:
+    MODEL_CHECKPOINT  local checkpoint dir (preferred, offline)
+    MODEL_REPO_URL    HF Hub repo id (fallback, needs network)
+    PORT              bind port (default 8080)
+    CHROMA_HOST/PORT  optional external ChromaDB
+
+Run:  python -m twotowers_tpu.serve.app
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..utils.logging import get_logger, setup_logging
+from .store import VectorCollection
+
+logger = get_logger("serve.app")
+
+try:  # gated optional dependency
+    from fastapi import FastAPI, HTTPException
+    from pydantic import BaseModel
+
+    HAVE_FASTAPI = True
+except Exception:  # pragma: no cover - depends on environment
+    HAVE_FASTAPI = False
+
+
+class ModelRuntime:
+    """Loaded two-tower model + tokenizer with a batch encode API."""
+
+    def __init__(self, checkpoint_path: str, batch_size: int = 32):
+        from ..index.two_tower import TwoTowerSearch
+        from ..train.checkpoint import load_trained_model
+
+        params, spec, tokenizer, config = load_trained_model(checkpoint_path)
+        tok_cfg = config.get("tokeniser", config.get("tokenizer", {})) or {}
+        max_length = int(tok_cfg.get("max_len", config.get("max_sequence_length", 64)))
+        self._search = TwoTowerSearch(
+            params, spec, tokenizer, max_length=max_length,
+            encode_batch_size=batch_size,
+        )
+        self.output_dim = spec.output_dim
+
+    def encode(self, texts: List[str], tower: str = "query") -> np.ndarray:
+        """(N, D) float32 unit vectors; always 2-D, even for one text
+        (the shape normalisation the reference does defensively)."""
+        vectors = self._search._encode_texts(texts, tower)
+        return np.atleast_2d(np.asarray(vectors, np.float32))
+
+
+def _load_runtime() -> Optional[ModelRuntime]:
+    checkpoint = os.environ.get("MODEL_CHECKPOINT")
+    if checkpoint and os.path.exists(checkpoint):
+        logger.info("Loading model from local checkpoint %s", checkpoint)
+        return ModelRuntime(checkpoint)
+    repo = os.environ.get("MODEL_REPO_URL")
+    if repo:
+        try:
+            from ..hub.huggingface import load_model_from_hub
+
+            logger.info("Downloading model from the Hub: %s", repo)
+            return ModelRuntime(load_model_from_hub(repo))
+        except Exception as exc:
+            logger.error("Hub model load failed: %s", exc)
+    logger.warning("No model available (set MODEL_CHECKPOINT or MODEL_REPO_URL)")
+    return None
+
+
+def create_app():
+    """Build the FastAPI app (import-time gated)."""
+    if not HAVE_FASTAPI:  # pragma: no cover
+        raise RuntimeError(
+            "fastapi is not installed; `pip install fastapi uvicorn` to serve"
+        )
+
+    app = FastAPI(title="two-tower retrieval service")
+    state: Dict[str, Any] = {"model": None, "collection": VectorCollection("documents")}
+
+    class EmbedRequest(BaseModel):
+        texts: List[str]
+
+    class SearchRequest(BaseModel):
+        query: str
+        top_k: int = 5
+
+    class AddRequest(BaseModel):
+        documents: List[str]
+        ids: Optional[List[str]] = None
+        metadatas: Optional[List[Dict[str, Any]]] = None
+
+    @app.on_event("startup")
+    def startup() -> None:
+        state["model"] = _load_runtime()
+
+    @app.get("/health")
+    def health():
+        return {
+            "status": "ok" if state["model"] else "degraded",
+            "model_loaded": state["model"] is not None,
+            "documents": state["collection"].count(),
+        }
+
+    @app.post("/embed")
+    def embed(request: EmbedRequest):
+        if state["model"] is None:
+            raise HTTPException(503, "model not loaded")
+        vectors = state["model"].encode(request.texts, "query")
+        return {"embeddings": vectors.tolist()}
+
+    @app.post("/add")
+    def add(request: AddRequest):
+        if state["model"] is None:
+            raise HTTPException(503, "model not loaded")
+        ids = request.ids or [
+            f"doc_{int(time.time()*1000)}_{i}" for i in range(len(request.documents))
+        ]
+        vectors = state["model"].encode(request.documents, "document")
+        added = state["collection"].add(ids, vectors, request.documents,
+                                        request.metadatas)
+        return {"added": added, "total": state["collection"].count()}
+
+    @app.post("/search")
+    def search(request: SearchRequest):
+        if state["model"] is None:
+            raise HTTPException(503, "model not loaded")
+        query_vec = state["model"].encode([request.query], "query")
+        result = state["collection"].query(query_vec, n_results=request.top_k)
+        return {
+            "query": request.query,
+            "results": [
+                {"id": i, "document": d, "distance": dist, "metadata": m}
+                for i, d, dist, m in zip(
+                    result["ids"][0], result["documents"][0],
+                    result["distances"][0], result["metadatas"][0],
+                )
+            ],
+        }
+
+    return app
+
+
+def main() -> int:  # pragma: no cover - needs uvicorn
+    setup_logging()
+    try:
+        import uvicorn
+    except Exception as exc:
+        raise RuntimeError(f"uvicorn is not installed: {exc}")
+    uvicorn.run(create_app(), host="0.0.0.0", port=int(os.environ.get("PORT", 8080)))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(main())

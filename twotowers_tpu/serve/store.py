@@ -1,0 +1,147 @@
+"""In-process vector store: the serving layer's document collection.
+
+Plays the role ChromaDB plays for the reference's inference service
+(/root/reference/inference/docker/app.py:159-306 and docker-compose.yml) —
+add/query/persist — but runs in-process on top of the same on-device
+score+top-k op as the index layer, so a single container serves without a
+sidecar database. A Chroma-backed collection can be swapped in behind the
+same interface when that infrastructure exists.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.logging import get_logger
+
+logger = get_logger("serve.store")
+
+
+class VectorCollection:
+    """A named collection of (id, document, metadata, embedding) records."""
+
+    def __init__(self, name: str, dim: Optional[int] = None):
+        self.name = name
+        self.dim = dim
+        self._ids: List[str] = []
+        self._documents: List[str] = []
+        self._metadatas: List[Dict] = []
+        self._embeddings: Optional[np.ndarray] = None
+        self._id_to_pos: Dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    # ---- mutation ------------------------------------------------------------
+
+    def add(
+        self,
+        ids: Sequence[str],
+        embeddings: np.ndarray,
+        documents: Sequence[str],
+        metadatas: Optional[Sequence[Dict]] = None,
+    ) -> int:
+        """Insert or overwrite records by id; returns number added."""
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if embeddings.ndim != 2 or len(ids) != len(embeddings) or len(ids) != len(documents):
+            raise ValueError("ids/embeddings/documents must align; embeddings 2-D")
+        if self.dim is None:
+            self.dim = int(embeddings.shape[1])
+        if embeddings.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: {embeddings.shape[1]} != {self.dim}")
+        metadatas = list(metadatas) if metadatas else [{} for _ in ids]
+        with self._lock:
+            new_rows = []
+            for i, record_id in enumerate(ids):
+                if record_id in self._id_to_pos:
+                    pos = self._id_to_pos[record_id]
+                    self._documents[pos] = documents[i]
+                    self._metadatas[pos] = metadatas[i]
+                    if self._embeddings is not None:
+                        self._embeddings[pos] = embeddings[i]
+                else:
+                    self._id_to_pos[record_id] = len(self._ids)
+                    self._ids.append(record_id)
+                    self._documents.append(documents[i])
+                    self._metadatas.append(metadatas[i])
+                    new_rows.append(embeddings[i])
+            if new_rows:
+                block = np.stack(new_rows)
+                self._embeddings = (
+                    block if self._embeddings is None
+                    else np.concatenate([self._embeddings, block])
+                )
+        return len(ids)
+
+    # ---- query ---------------------------------------------------------------
+
+    def query(self, query_embeddings: np.ndarray, n_results: int = 5) -> Dict:
+        """Top-n cosine matches per query; Chroma-shaped response dict."""
+        with self._lock:
+            if self._embeddings is None or not len(self._ids):
+                return {"ids": [[]], "documents": [[]], "distances": [[]],
+                        "metadatas": [[]]}
+            embeddings = self._embeddings
+            docs = list(self._documents)
+            ids = list(self._ids)
+            metas = list(self._metadatas)
+
+        import jax.numpy as jnp
+
+        from ..ops.topk_score import score_topk
+
+        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+        norms = np.linalg.norm(embeddings, axis=1, keepdims=True)
+        unit = embeddings / np.maximum(norms, 1e-8)
+        q_norm = queries / np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-8
+        )
+        k = min(n_results, len(ids))
+        scores, indices = score_topk(
+            jnp.asarray(unit), jnp.asarray(q_norm), k, jnp.int32(len(ids))
+        )
+        scores = np.asarray(scores)
+        indices = np.asarray(indices)
+        return {
+            "ids": [[ids[int(i)] for i in row] for row in indices],
+            "documents": [[docs[int(i)] for i in row] for row in indices],
+            "metadatas": [[metas[int(i)] for i in row] for row in indices],
+            # cosine distance, as chroma reports
+            "distances": [[float(1.0 - s) for s in row] for row in scores],
+        }
+
+    def count(self) -> int:
+        return len(self._ids)
+
+    # ---- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        out = Path(path)
+        out.mkdir(parents=True, exist_ok=True)
+        with self._lock:
+            np.savez_compressed(out / "embeddings.npz",
+                                embeddings=self._embeddings
+                                if self._embeddings is not None
+                                else np.zeros((0, self.dim or 0), np.float32))
+            with open(out / "records.json", "w") as f:
+                json.dump({"name": self.name, "dim": self.dim, "ids": self._ids,
+                           "documents": self._documents,
+                           "metadatas": self._metadatas}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "VectorCollection":
+        src = Path(path)
+        with open(src / "records.json") as f:
+            payload = json.load(f)
+        collection = cls(payload["name"], payload.get("dim"))
+        with np.load(src / "embeddings.npz") as data:
+            embeddings = data["embeddings"]
+        collection._ids = payload["ids"]
+        collection._documents = payload["documents"]
+        collection._metadatas = payload["metadatas"]
+        collection._id_to_pos = {rid: i for i, rid in enumerate(collection._ids)}
+        collection._embeddings = embeddings if len(embeddings) else None
+        return collection
