@@ -1,0 +1,157 @@
+"""Tests for the serving vector store and the reports layer."""
+
+import json
+
+import numpy as np
+import pytest
+
+from twotowers_tpu.reports import create_comparison_report, create_run_report
+from twotowers_tpu.reports.report_utils import (
+    genealogy_flowchart,
+    load_metrics,
+    summarise_series,
+)
+from twotowers_tpu.serve.store import VectorCollection
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+class TestVectorCollection:
+    def test_add_and_count(self):
+        col = VectorCollection("test")
+        added = col.add(["a", "b"], _unit(np.random.randn(2, 8)), ["doc a", "doc b"])
+        assert added == 2
+        assert col.count() == 2
+
+    def test_query_returns_best_match(self):
+        col = VectorCollection("test")
+        base = np.eye(3, 8, dtype=np.float32)
+        col.add(["x", "y", "z"], base, ["dx", "dy", "dz"],
+                [{"k": 1}, {"k": 2}, {"k": 3}])
+        result = col.query(base[1], n_results=2)
+        assert result["ids"][0][0] == "y"
+        assert result["documents"][0][0] == "dy"
+        assert result["metadatas"][0][0] == {"k": 2}
+        assert result["distances"][0][0] == pytest.approx(0.0, abs=1e-5)
+
+    def test_upsert_by_id(self):
+        col = VectorCollection("test")
+        col.add(["a"], _unit(np.ones((1, 4))), ["old"])
+        col.add(["a"], _unit(np.ones((1, 4))), ["new"])
+        assert col.count() == 1
+        result = col.query(_unit(np.ones((1, 4))), n_results=1)
+        assert result["documents"][0][0] == "new"
+
+    def test_empty_query(self):
+        col = VectorCollection("test")
+        result = col.query(np.ones((1, 4), np.float32))
+        assert result["ids"] == [[]]
+
+    def test_dim_mismatch_raises(self):
+        col = VectorCollection("test")
+        col.add(["a"], np.ones((1, 4), np.float32), ["d"])
+        with pytest.raises(ValueError, match="dim mismatch"):
+            col.add(["b"], np.ones((1, 8), np.float32), ["d2"])
+
+    def test_save_load_roundtrip(self, tmp_path):
+        col = VectorCollection("test")
+        vecs = _unit(np.random.default_rng(0).normal(size=(5, 8)))
+        col.add([f"id{i}" for i in range(5)], vecs, [f"doc {i}" for i in range(5)])
+        col.save(str(tmp_path / "col"))
+        restored = VectorCollection.load(str(tmp_path / "col"))
+        assert restored.count() == 5
+        a = col.query(vecs[2], 3)
+        b = restored.query(vecs[2], 3)
+        assert a["ids"] == b["ids"]
+
+
+@pytest.fixture
+def run_dir(tmp_path):
+    """A synthetic run directory shaped like the trainer's output."""
+    root = tmp_path / "run_a"
+    root.mkdir()
+    records = []
+    for i in range(10):
+        records.append({
+            "train/batch": i, "train/batch_loss": 1.0 - i * 0.05,
+            "train/pos_similarity": 0.5 + i * 0.02,
+            "train/neg_similarity": 0.5 - i * 0.01,
+            "train/similarity_diff": 0.03 * i,
+            "performance/batch_time": 0.01,
+            "performance/samples_per_second": 1000 + i,
+            "gradients/total_norm": 2.0 - i * 0.1,
+        })
+    records.append({"epoch": 1, "train/epoch_loss": 0.6, "train/epoch_time": 1.5,
+                    "train/learning_rate": 0.001, "train/batch_size": 8})
+    with open(root / "runa_metrics.jsonl", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    (root / "resolved_config.yml").write_text(
+        "batch_size: 8\nencoder:\n  hidden_dim: 32\n")
+    (root / "ir_metrics.json").write_text(json.dumps({"mrr": 0.5, "recall@10": 0.8}))
+    (root / "summary.json").write_text(json.dumps({"success": True}))
+    return root
+
+
+class TestReports:
+    def test_single_report_sections(self, run_dir):
+        path = create_run_report(str(run_dir))
+        text = (run_dir / "report.md").read_text()
+        assert "Training dynamics" in text
+        assert "train/batch_loss" in text
+        assert "Similarity monitors" in text
+        assert "IR evaluation" in text
+        assert "mrr | 0.5000" in text
+        assert "Configuration" in text
+
+    def test_single_report_no_metrics(self, tmp_path):
+        empty = tmp_path / "empty_run"
+        empty.mkdir()
+        create_run_report(str(empty))
+        assert "No metrics" in (empty / "report.md").read_text()
+
+    def test_comparison_report(self, run_dir, tmp_path):
+        # second run with a better loss
+        import shutil
+
+        run_b = run_dir.parent / "run_b"
+        shutil.copytree(run_dir, run_b)
+        metrics_b = run_b / "runa_metrics.jsonl"
+        records = [json.loads(l) for l in metrics_b.read_text().splitlines()]
+        for r in records:
+            if "train/epoch_loss" in r:
+                r["train/epoch_loss"] = 0.3
+        (run_b / "resolved_config.yml").write_text(
+            "batch_size: 16\nencoder:\n  hidden_dim: 32\n")
+        metrics_b.write_text("\n".join(json.dumps(r) for r in records))
+
+        path = create_comparison_report([str(run_dir), str(run_b)])
+        text = open(path).read()
+        assert "run_a" in text and "run_b" in text
+        # run_b wins on epoch loss
+        assert "| train/epoch_loss" in text and "run_b |" in text
+        # config diff shows batch_size, not the identical hidden_dim
+        assert "batch_size" in text
+        assert "encoder.hidden_dim" not in text
+
+    def test_genealogy_flowchart(self):
+        record = {
+            "artifact": "data/x.parquet",
+            "pipeline": [
+                {"step": "load_split", "rows": 100},
+                {"step": "build_triplets", "rows": 300},
+            ],
+        }
+        chart = genealogy_flowchart(record)
+        assert "flowchart TD" in chart
+        assert "300" in chart
+        assert "x.parquet" in chart
+
+    def test_summarise_series(self):
+        stats = summarise_series([1.0, 2.0, 3.0])
+        assert stats == {"first": 1.0, "last": 3.0, "min": 1.0,
+                         "max": 3.0, "mean": 2.0}
+        assert summarise_series([]) == {}
