@@ -2,6 +2,14 @@
 
 from .base import BaseSearch
 from .glove import GloVeSearch, MeanVectorSearch
+from .sharded import ShardedDocIndex, ShardedTwoTowerSearch
 from .two_tower import TwoTowerSearch
 
-__all__ = ["BaseSearch", "GloVeSearch", "MeanVectorSearch", "TwoTowerSearch"]
+__all__ = [
+    "BaseSearch",
+    "GloVeSearch",
+    "MeanVectorSearch",
+    "ShardedDocIndex",
+    "ShardedTwoTowerSearch",
+    "TwoTowerSearch",
+]

@@ -66,10 +66,16 @@ class CharTokenizer(BaseTokenizer):
         return [self.string_to_index.get(char, 0) for char in text]
 
     def encode_batch(self, texts: Sequence[str], max_len: int) -> np.ndarray:
-        out = np.zeros((len(texts), max_len), dtype=np.int32)
         lut = self._lut
         if lut is None:
             return super().encode_batch(texts, max_len)
+        if len(texts) >= 64:  # amortise the buffer packing
+            from ..native.tokenize import char_encode_batch
+
+            native = char_encode_batch(texts, lut, max_len)
+            if native is not None:
+                return native
+        out = np.zeros((len(texts), max_len), dtype=np.int32)
         n = len(lut)
         for i, text in enumerate(texts):
             cps = np.frombuffer(text[:max_len].encode("utf-32-le"), dtype=np.uint32)

@@ -79,6 +79,31 @@ class WordTokenizer(BaseTokenizer):
         get = self.word_to_index.get
         return [get(word, self.UNK) for word in self._tokenize(text)]
 
+    def encode_batch(self, texts, max_len: int):
+        import numpy as np
+
+        # native fast path: ASCII corpora with punctuation stripping (the C
+        # core's byte-level \w+ and ASCII lowercasing match exactly there)
+        if (
+            len(texts) >= 64
+            and self.strip_punctuation
+            and self.is_fitted
+            and all(t.isascii() for t in texts)
+        ):
+            from ..native.tokenize import WordVocabTable, available, word_encode_batch
+
+            if available():
+                if getattr(self, "_native_table_size", None) != len(self.word_to_index):
+                    self._native_table = WordVocabTable(self.word_to_index)
+                    self._native_table_size = len(self.word_to_index)
+                native = word_encode_batch(
+                    texts, self._native_table, max_len,
+                    unk_id=self.UNK, lowercase=self.lowercase,
+                )
+                if native is not None:
+                    return native
+        return super().encode_batch(texts, max_len)
+
     def decode(self, ids: Sequence[int]) -> str:
         return " ".join(
             self.index_to_word.get(int(i), "<UNK>") for i in ids if int(i) != self.PAD
