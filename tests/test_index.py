@@ -129,7 +129,9 @@ class TestTwoTowerSearch:
 class TestMeanVectorSearch:
     @pytest.fixture
     def vectors(self, np_rng):
-        words = set(w for d in DOCS for w in d.lower().split())
+        # sorted: set order depends on PYTHONHASHSEED, which would make the
+        # word->vector assignment (and rankings) vary across processes
+        words = sorted(set(w for d in DOCS for w in d.lower().split()))
         return {w: np_rng.normal(size=8).astype(np.float32) for w in words}
 
     def test_index_shapes_and_ranking(self, vectors):

@@ -141,3 +141,7 @@ def build_loss(name: str, **kwargs: Any) -> LossDef:
     if kwargs:
         return LossDef(functools.partial(base.fn, **kwargs), base.arity)
     return base
+
+
+# reference-layout alias (twotower.losses.build) for migrated call sites
+build = build_loss

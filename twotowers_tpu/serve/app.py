@@ -132,6 +132,15 @@ def create_app():
                                         request.metadatas)
         return {"added": added, "total": state["collection"].count()}
 
+    @app.get("/")
+    def root():
+        from pathlib import Path
+
+        from fastapi.responses import HTMLResponse
+
+        index = Path(__file__).parent / "static" / "index.html"
+        return HTMLResponse(index.read_text())
+
     @app.post("/search")
     def search(request: SearchRequest):
         if state["model"] is None:

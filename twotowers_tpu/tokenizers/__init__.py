@@ -4,6 +4,9 @@ from .base import PAD_ID, TOKENIZER_REGISTRY, BaseTokenizer, build_tokenizer
 from .char import CharTokenizer
 from .word import WordTokenizer
 
+# reference-layout alias (twotower.tokenisers.build) for migrated call sites
+build = build_tokenizer
+
 
 def tokenizer_from_state(state: dict) -> BaseTokenizer:
     """Rebuild any registered tokenizer from its ``state_dict()``."""

@@ -163,6 +163,24 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
     state = create_train_state(pipeline.params, pipeline.optimizer,
                                jax.random.PRNGKey(seed))
 
+    # optional validation split (new over the reference, whose evaluate()
+    # is plumbing only): `val_data: path` enables per-epoch val metrics
+    val_dataset = None
+    eval_step = None
+    if config.get("val_data"):
+        from ..data.triplets import TripletDataset
+
+        val_dataset = TripletDataset(
+            config["val_data"], pipeline.tokenizer,
+            max_length=pipeline.max_length,
+        )
+        eval_step = make_eval_step(pipeline.spec, pipeline.loss_def)
+
+    # optional jax.profiler trace of the first epoch's steps
+    # (`profile: {trace_dir: ..., }` — SURVEY.md §5 tracing parity, TPU-native)
+    profile_cfg = config.get("profile", {}) or {}
+    profile_dir = profile_cfg.get("trace_dir") if profile_cfg else None
+
     start_epoch = 1
     if config.get("resume"):
         resume_path = config["resume"]
@@ -186,10 +204,25 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
     with MetricLogger(config, log_dir=log_dir) as metric_logger:
         for epoch in range(start_epoch, epochs + 1):
             logger.info("Epoch %d/%d", epoch, epochs)
+            profiling = profile_dir and epoch == start_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             state, epoch_metrics = train_epoch(
                 train_step, state, pipeline, batch_size,
                 epoch=epoch, seed=seed, metric_logger=metric_logger,
             )
+            if profiling:
+                jax.profiler.stop_trace()
+                logger.info("Wrote profiler trace to %s", profile_dir)
+            if val_dataset is not None:
+                val_metrics = evaluate(eval_step, state.params, pipeline,
+                                       batch_size, dataset=val_dataset)
+                metric_logger.log({
+                    "epoch": epoch,
+                    **{f"val/{k}": v for k, v in val_metrics.items()},
+                })
+                logger.info("  val loss=%.6f pos_sim=%.4f",
+                            val_metrics["loss"], val_metrics["pos_similarity"])
             lr = (config.get("optimizer", {}) or {}).get(
                 "lr", config.get("learning_rate", 1e-3))
             metric_logger.log({
