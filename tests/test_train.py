@@ -205,3 +205,43 @@ class TestTrainLoop:
         # padding must not skew the mean: different batch sizes, same result
         metrics7 = evaluate(eval_step, pipe.params, pipe, batch_size=7)
         np.testing.assert_allclose(metrics["loss"], metrics7["loss"], rtol=1e-4)
+
+
+class TestMeshConfigTraining:
+    def test_train_model_with_mesh_config(self, small_parquet, tmp_path):
+        """Config-driven sharded training runs end-to-end on the CPU mesh."""
+        cfg = _config(small_parquet, tmp_path,
+                      loss={"type": "in_batch", "temperature": 0.1},
+                      mesh={"data": 4, "model": 2})
+        state, pipe = train_model(cfg)
+        assert int(state.step) > 0
+        from jax.sharding import PartitionSpec as P
+
+        assert state.params["embedding"]["table"].sharding.spec == P("model", None)
+
+    def test_mesh_and_single_device_losses_close(self, small_parquet, tmp_path):
+        cfg_single = _config(small_parquet, tmp_path, epochs=1)
+        cfg_mesh = _config(small_parquet, tmp_path / "m", epochs=1,
+                           mesh={"data": 2, "model": 1})
+        s1, _ = train_model(cfg_single)
+        s2, _ = train_model(cfg_mesh)
+        assert int(s1.step) == int(s2.step)
+
+
+class TestDeterminism:
+    def test_same_seed_same_loss(self, small_parquet, tmp_path):
+        cfg = _config(small_parquet, tmp_path, epochs=1)
+        pipe_a = build_pipeline(cfg, seed=7)
+        pipe_b = build_pipeline(cfg, seed=7)
+        step_a = make_train_step(pipe_a.spec, pipe_a.loss_def, pipe_a.optimizer)
+        step_b = make_train_step(pipe_b.spec, pipe_b.loss_def, pipe_b.optimizer)
+        sa = create_train_state(pipe_a.params, pipe_a.optimizer)
+        sb = create_train_state(pipe_b.params, pipe_b.optimizer)
+        import jax.numpy as jnp
+
+        q, p, n = (jnp.asarray(a[:8]) for a in pipe_a.dataset.arrays())
+        w = jnp.ones(8, jnp.float32)
+        for _ in range(3):
+            sa, ma = step_a(sa, q, p, n, w)
+            sb, mb = step_b(sb, q, p, n, w)
+        assert float(ma["loss"]) == float(mb["loss"])

@@ -39,9 +39,11 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _select_topk(vals: jnp.ndarray, idxs: jnp.ndarray, k: int):
-    """(Q, C) candidates -> (Q, k) best, ties to the smallest doc index."""
+    """(Q, C) candidates -> ((Q, k) best, ties to smallest doc index,
+    plus the (Q, 1) k-th best value for threshold pruning)."""
     out_vals = []
     out_idxs = []
+    best = None
     for _ in range(k):
         best = jnp.max(vals, axis=1, keepdims=True)                 # (Q, 1)
         is_best = vals >= best                                      # ties included
@@ -51,13 +53,20 @@ def _select_topk(vals: jnp.ndarray, idxs: jnp.ndarray, k: int):
         out_idxs.append(chosen)
         knockout = idxs == chosen
         vals = jnp.where(knockout, NEG_INF, vals)
-    return jnp.concatenate(out_vals, axis=1), jnp.concatenate(out_idxs, axis=1)
+    return jnp.concatenate(out_vals, axis=1), jnp.concatenate(out_idxs, axis=1), best
 
 
 def _kernel(n_docs_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref,
-            run_vals, run_idx, *, k: int, k_store: int, tile_n: int):
+            run_vals, run_idx, run_kth, *, k: int, k_store: int, tile_n: int):
     """Selection runs k true iterations; scratch/outputs are lane-padded to
-    k_store columns (trailing columns stay NEG_INF/BIG_IDX sentinels)."""
+    k_store columns (trailing columns stay NEG_INF/BIG_IDX sentinels).
+
+    Threshold pruning: ``run_kth`` holds every query's current k-th best
+    score broadcast across its row. A tile whose per-query maxima are all at
+    or below that threshold cannot change any top-k, so the whole O(k·(k+T))
+    selection merge is predicated away — after the first few tiles almost
+    every tile skips it and the kernel runs at matmul speed.
+    """
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
     q_rows = run_vals.shape[0]
@@ -66,6 +75,7 @@ def _kernel(n_docs_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref,
     def _init():
         run_vals[:] = jnp.full(run_vals.shape, NEG_INF, jnp.float32)
         run_idx[:] = jnp.full(run_idx.shape, BIG_IDX, jnp.int32)
+        run_kth[:] = jnp.full(run_kth.shape, NEG_INF, jnp.float32)
 
     scores = jax.lax.dot_general(
         q_ref[:], docs_ref[:],
@@ -79,18 +89,24 @@ def _kernel(n_docs_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref,
     scores = jnp.where(valid, scores, NEG_INF)
     col = jnp.where(valid, col, BIG_IDX)
 
-    # dead k_store-k sentinel columns ride along; they never win a max
-    vals = jnp.concatenate([run_vals[:], scores], axis=1)
-    idxs = jnp.concatenate([run_idx[:], col], axis=1)
-    new_vals, new_idx = _select_topk(vals, idxs, k)
-    pad = k_store - k
-    if pad:
-        new_vals = jnp.concatenate(
-            [new_vals, jnp.full((q_rows, pad), NEG_INF, jnp.float32)], axis=1)
-        new_idx = jnp.concatenate(
-            [new_idx, jnp.full((q_rows, pad), BIG_IDX, jnp.int32)], axis=1)
-    run_vals[:] = new_vals
-    run_idx[:] = new_idx
+    tile_max = jnp.max(scores, axis=1, keepdims=True)        # (Q, 1)
+    any_candidate = jnp.any(tile_max > run_kth[:])           # scalar
+
+    @pl.when(any_candidate)
+    def _merge():
+        # dead k_store-k sentinel columns ride along; they never win a max
+        vals = jnp.concatenate([run_vals[:], scores], axis=1)
+        idxs = jnp.concatenate([run_idx[:], col], axis=1)
+        new_vals, new_idx, kth = _select_topk(vals, idxs, k)
+        run_kth[:] = jnp.broadcast_to(kth, run_kth.shape)
+        pad = k_store - k
+        if pad:
+            new_vals = jnp.concatenate(
+                [new_vals, jnp.full((q_rows, pad), NEG_INF, jnp.float32)], axis=1)
+            new_idx = jnp.concatenate(
+                [new_idx, jnp.full((q_rows, pad), BIG_IDX, jnp.int32)], axis=1)
+        run_vals[:] = new_vals
+        run_idx[:] = new_idx
 
     @pl.when(step == num_steps - 1)
     def _emit():
@@ -139,6 +155,7 @@ def _score_topk_pallas(
         scratch_shapes=[
             pltpu.VMEM((q_padded, k_padded), jnp.float32),
             pltpu.VMEM((q_padded, k_padded), jnp.int32),
+            pltpu.VMEM((q_padded, LANE), jnp.float32),  # kth-best threshold
         ],
     )
     vals, idx = pl.pallas_call(

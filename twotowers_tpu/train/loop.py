@@ -50,6 +50,7 @@ def train_epoch(
     epoch: int,
     seed: int,
     metric_logger: Optional[MetricLogger] = None,
+    batch_placer=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Run one epoch; returns (state, epoch metrics).
 
@@ -90,9 +91,16 @@ def train_epoch(
             metric_logger.log(record)
         return host
 
-    batch_iter = prefetch_to_device(
-        iterate_batches(arrays, batch_size, shuffle=True, seed=seed + epoch)
-    )
+    if batch_placer is None:
+        batch_iter = prefetch_to_device(
+            iterate_batches(arrays, batch_size, shuffle=True, seed=seed + epoch)
+        )
+    else:
+        batch_iter = (
+            batch_placer(b)
+            for b in iterate_batches(arrays, batch_size, shuffle=True,
+                                     seed=seed + epoch)
+        )
     last_host = None
     for batch_idx, batch in enumerate(batch_iter):
         batch_start = time.time()
@@ -159,9 +167,46 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
     log_dir = config.get("log_dir", "logs")
 
     pipeline = build_pipeline(config, seed=seed)
-    train_step = make_train_step(pipeline.spec, pipeline.loss_def, pipeline.optimizer)
-    state = create_train_state(pipeline.params, pipeline.optimizer,
-                               jax.random.PRNGKey(seed))
+
+    # multi-chip training: `mesh: {data: N, model: M, shard_vocab, global_negatives}`
+    # switches to the pjit sharded step; everything downstream is identical.
+    mesh_cfg = config.get("mesh") or {}
+    batch_placer = None
+    if mesh_cfg:
+        from ..parallel import (
+            create_sharded_train_state,
+            make_mesh,
+            make_sharded_train_step,
+            shard_batch,
+        )
+
+        mesh = make_mesh(data=mesh_cfg.get("data"),
+                         model=int(mesh_cfg.get("model", 1)))
+        train_step = make_sharded_train_step(
+            pipeline.spec, pipeline.loss_def, pipeline.optimizer, mesh,
+            shard_vocab=bool(mesh_cfg.get("shard_vocab", True)),
+            global_negatives=bool(mesh_cfg.get("global_negatives", True)),
+        )
+        state = create_sharded_train_state(
+            pipeline.params, pipeline.optimizer, mesh,
+            shard_vocab=bool(mesh_cfg.get("shard_vocab", True)),
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        def batch_placer(batch: Batch) -> Batch:
+            q, p, n, w = shard_batch(
+                mesh, batch.queries, batch.positives, batch.negatives,
+                batch.weights,
+            )
+            return Batch(queries=q, positives=p, negatives=n, weights=w,
+                         num_real_hint=batch.num_real)
+
+        logger.info("Sharded training over mesh %s", dict(mesh.shape))
+    else:
+        train_step = make_train_step(pipeline.spec, pipeline.loss_def,
+                                     pipeline.optimizer)
+        state = create_train_state(pipeline.params, pipeline.optimizer,
+                                   jax.random.PRNGKey(seed))
 
     # optional validation split (new over the reference, whose evaluate()
     # is plumbing only): `val_data: path` enables per-epoch val metrics
@@ -210,6 +255,7 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
             state, epoch_metrics = train_epoch(
                 train_step, state, pipeline, batch_size,
                 epoch=epoch, seed=seed, metric_logger=metric_logger,
+                batch_placer=batch_placer,
             )
             if profiling:
                 jax.profiler.stop_trace()
