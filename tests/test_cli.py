@@ -1,0 +1,93 @@
+"""CLI-level tests that run host-side (no TPU required)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from twotowers_tpu.evaluation.cli import tuples_from_triplets
+from twotowers_tpu.hub.cli import IMPORT_REWRITES, cmd_migrate
+
+
+class TestEvalTuples:
+    def test_tuples_from_triplets(self, tmp_path):
+        df = pd.DataFrame({
+            "q_text": ["q1"] * 3 + ["q2"] * 2,
+            "d_pos_text": ["p1", "p1", "p1b", "p2", "p2"],
+            "d_neg_text": [f"n{i}" for i in range(5)],
+        })
+        path = tmp_path / "t.parquet"
+        df.to_parquet(path)
+        tuples = tuples_from_triplets(str(path), num_queries=10, num_docs=6, seed=0)
+        assert len(tuples) == 2
+        for query, docs, relevance in tuples:
+            assert len(docs) == len(relevance) == 6
+            assert sum(relevance) >= 1  # at least one positive present
+
+    def test_alternate_columns(self, tmp_path):
+        df = pd.DataFrame({
+            "query": ["q"], "positive_doc": ["p"], "negative_doc": ["n"],
+        })
+        path = tmp_path / "t.parquet"
+        df.to_parquet(path)
+        tuples = tuples_from_triplets(str(path), num_docs=3)
+        assert tuples[0][0] == "q"
+
+
+class TestMigrate:
+    def test_lint_mode_does_not_modify(self, tmp_path, capsys):
+        src = tmp_path / "code.py"
+        original = "from twotower.losses import build\n"
+        src.write_text(original)
+
+        class Args:
+            path = str(tmp_path)
+            apply = False
+
+        cmd_migrate(Args())
+        assert src.read_text() == original
+        assert "Found 1" in capsys.readouterr().out
+
+    def test_apply_rewrites_all_patterns(self, tmp_path):
+        src = tmp_path / "code.py"
+        src.write_text(
+            "from twotower.encoders import build_two_tower\n"
+            "from twotower.evaluate import evaluate_model\n"
+            "import dataset_factory\n"
+        )
+
+        class Args:
+            path = str(tmp_path)
+            apply = True
+
+        cmd_migrate(Args())
+        text = src.read_text()
+        assert "twotowers_tpu.models.towers" in text
+        assert "twotowers_tpu.evaluation" in text
+        assert "twotowers_tpu.data.factory as dataset_factory" in text
+        assert "from twotower." not in text
+
+    def test_rewrite_table_targets_exist(self):
+        """Every rewrite target must be a real importable module."""
+        import importlib
+
+        for _pattern, replacement in IMPORT_REWRITES:
+            module = replacement.replace("from ", "").replace("import ", "")
+            module = module.split(" as ")[0].strip()
+            importlib.import_module(module)
+
+
+class TestBenchScript:
+    def test_bench_constants_sane(self):
+        import bench
+
+        assert bench.REFERENCE_PAIRS_PER_SEC > 0
+        assert bench.BATCH >= 256
+
+    def test_graft_entry_importable(self):
+        import __graft_entry__ as graft
+
+        assert callable(graft.entry)
+        assert callable(graft.dryrun_multichip)

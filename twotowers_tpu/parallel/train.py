@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.losses import LossDef
 from ..models.towers import TwoTowerSpec, encode
-from ..train.step import TrainState
+from ..train.step import TrainState, mask_frozen_updates
 from ..utils.logging import get_logger
 from .collectives import global_in_batch_loss
 from .embedding_shard import sharded_embed_ids
@@ -96,6 +96,7 @@ def make_sharded_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates = mask_frozen_updates(updates, spec)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,

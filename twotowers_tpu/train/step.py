@@ -80,6 +80,23 @@ def _encode_for_loss(
     return loss_def.fn(q, p, n, weights)
 
 
+def mask_frozen_updates(updates: Any, spec: TwoTowerSpec) -> Any:
+    """Zero optimizer updates for frozen params.
+
+    stop_gradient makes frozen-table grads zero, but decoupled weight decay
+    (AdamW) would still shrink the table every step; the reference freezes
+    by keeping params out of the optimizer (requires_grad=False), so a
+    frozen table must receive no update of any kind.
+    """
+    if spec.embedding.trainable:
+        return updates
+    updates = dict(updates)
+    updates["embedding"] = jax.tree_util.tree_map(
+        jnp.zeros_like, updates["embedding"]
+    )
+    return updates
+
+
 def make_train_step(
     spec: TwoTowerSpec,
     loss_def: LossDef,
@@ -102,6 +119,7 @@ def make_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        updates = mask_frozen_updates(updates, spec)
         params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,
