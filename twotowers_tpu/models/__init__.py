@@ -7,6 +7,7 @@ from .embeddings import (
     init_embedding,
 )
 from .losses import LOSS_REGISTRY, LossDef, build_loss
+from .seq_towers import SEQUENCE_ARCHS, is_sequence_arch
 from .towers import (
     TOWER_REGISTRY,
     TowerSpec,
@@ -23,6 +24,8 @@ __all__ = [
     "EmbeddingSpec",
     "LOSS_REGISTRY",
     "LossDef",
+    "SEQUENCE_ARCHS",
+    "is_sequence_arch",
     "TOWER_REGISTRY",
     "TowerSpec",
     "TwoTowerSpec",

@@ -39,6 +39,7 @@ class EmbeddingSpec:
     trainable: bool = True
     source: Optional[str] = None  # pretrained vector source name, if any
     padding_idx: int = 0
+    max_len: int = 128  # positional-table length ('positional' kind only)
 
 
 def _zero_pad_row(table: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
@@ -92,6 +93,22 @@ def _init_pretrained(rng: jax.Array, spec: EmbeddingSpec) -> Dict[str, jnp.ndarr
     return {"table": _zero_pad_row(jnp.asarray(table), spec.padding_idx)}
 
 
+@EMBEDDING_REGISTRY.register("positional")
+def _init_positional(rng: jax.Array, spec: EmbeddingSpec) -> Dict[str, jnp.ndarray]:
+    """Lookup table plus learned positional embeddings added at lookup time.
+
+    Advertised by the reference's config docs
+    (/root/reference/artifacts/docs/config.md:74: ``type: "positional"``) but
+    absent from its registry (embeddings.py:159-164); implemented here.
+    """
+    t_rng, p_rng = jax.random.split(rng)
+    table = jax.random.normal(t_rng, (spec.vocab_size, spec.embedding_dim), jnp.float32)
+    return {
+        "table": _zero_pad_row(table, spec.padding_idx),
+        "pos": 0.02 * jax.random.normal(p_rng, (spec.max_len, spec.embedding_dim), jnp.float32),
+    }
+
+
 EMBEDDING_REGISTRY.add("word2vec", _init_pretrained)
 EMBEDDING_REGISTRY.add("glove", _init_pretrained)
 # The reference's word2vec_skipgram.yml writes `type: pretrained` although the
@@ -110,13 +127,14 @@ _DEFAULT_SOURCES = {
 def spec_from_config(config: Dict[str, Any], vocab_size: int) -> EmbeddingSpec:
     """Build an EmbeddingSpec from the ``embedding:`` config section."""
     kind = config.get("type", "lookup")
-    trainable = bool(config.get("trainable", kind == "lookup"))
+    trainable = bool(config.get("trainable", kind in ("lookup", "positional")))
     return EmbeddingSpec(
         kind=kind,
         vocab_size=vocab_size,
         embedding_dim=int(config.get("embedding_dim", 64)),
         trainable=trainable,
         source=config.get("source", _DEFAULT_SOURCES.get(kind)),
+        max_len=int(config.get("max_len", 128)),
     )
 
 
@@ -132,4 +150,19 @@ def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndar
     table = params["table"]
     if not spec.trainable:
         table = jax.lax.stop_gradient(table)
-    return jnp.take(table.astype(dtype), ids, axis=0)
+    out = jnp.take(table.astype(dtype), ids, axis=0)
+    if "pos" in params:  # 'positional' kind: learned position offsets
+        pos = params["pos"]
+        if not spec.trainable:
+            pos = jax.lax.stop_gradient(pos)
+        seq_len = ids.shape[-1]
+        if seq_len > pos.shape[0]:
+            raise ValueError(
+                f"sequence length {seq_len} exceeds positional table "
+                f"max_len {pos.shape[0]}"
+            )
+        # pad rows must stay exactly zero so masked pooling ignores them
+        out = out + jnp.where(
+            (ids > 0)[..., None], pos[:seq_len].astype(dtype), 0.0
+        )
+    return out

@@ -130,9 +130,36 @@ def in_batch_sampled_softmax_loss(
     return loss, aux
 
 
+def cosine_embedding_loss(
+    q: jnp.ndarray, pos: jnp.ndarray, neg: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None, margin: float = 0.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Cosine embedding loss over the triplet (torch CosineEmbeddingLoss
+    semantics applied to both legs): pull ``1 - cos(q, pos)`` to zero, push
+    ``relu(cos(q, neg) - margin)`` to zero.
+
+    The reference's config docs advertise ``loss: type: "cosine"``
+    (/root/reference/artifacts/docs/config.md:90) but its registry
+    (losses.py:122-127) never implements it; provided here for real.
+    """
+    sim_pos = cosine_similarity(q, pos)
+    sim_neg = cosine_similarity(q, neg)
+    per_sample = (1.0 - sim_pos) + jnp.maximum(sim_neg - margin, 0.0)
+    loss = _weighted_mean(per_sample, weights)
+    aux = {
+        "pos_similarity": _weighted_mean(sim_pos, weights),
+        "neg_similarity": _weighted_mean(sim_neg, weights),
+    }
+    return loss, aux
+
+
 LOSS_REGISTRY.add("triplet", LossDef(contrastive_triplet_loss, "triplet"))
 LOSS_REGISTRY.add("multiple_negatives", LossDef(multiple_negatives_loss, "multi_neg"))
 LOSS_REGISTRY.add("in_batch", LossDef(in_batch_sampled_softmax_loss, "pair"))
+LOSS_REGISTRY.add("cosine", LossDef(cosine_embedding_loss, "triplet"))
+# the docs' "contrastive" (config.md:90) is the hinge triplet — the reference
+# even names it contrastive_triplet_loss (losses.py:9)
+LOSS_REGISTRY.add("contrastive", LossDef(contrastive_triplet_loss, "triplet"))
 
 
 def build_loss(name: str, **kwargs: Any) -> LossDef:

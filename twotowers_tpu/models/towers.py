@@ -28,12 +28,20 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class TowerSpec:
-    """Static configuration of one tower architecture."""
+    """Static configuration of one tower architecture.
+
+    kernel_size / num_layers / num_heads / max_len only apply to the
+    sequence towers (cnn / rnn / transformer, see seq_towers.py).
+    """
 
     arch: str
     embedding_dim: int
     hidden_dim: int
     dropout: float = 0.1
+    kernel_size: int = 3
+    num_layers: int = 2
+    num_heads: int = 4
+    max_len: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,6 +139,26 @@ TOWER_REGISTRY.add("avg_pool", (_avg_pool_init, _avg_pool_apply))
 
 
 # ---------------------------------------------------------------------------
+# Sequence towers (cnn / rnn / transformer) — consume (B, L, D) token
+# embeddings + ids rather than a pooled vector; see seq_towers.py
+# ---------------------------------------------------------------------------
+
+from .seq_towers import (  # noqa: E402  (registration order matters)
+    cnn_apply,
+    cnn_init,
+    is_sequence_arch,
+    rnn_apply,
+    rnn_init,
+    transformer_apply,
+    transformer_init,
+)
+
+TOWER_REGISTRY.add("cnn", (cnn_init, cnn_apply))
+TOWER_REGISTRY.add("rnn", (rnn_init, rnn_apply))
+TOWER_REGISTRY.add("transformer", (transformer_init, transformer_apply))
+
+
+# ---------------------------------------------------------------------------
 # Two-tower assembly
 # ---------------------------------------------------------------------------
 
@@ -146,6 +174,11 @@ def spec_from_config(config: Dict[str, Any], vocab_size: int) -> TwoTowerSpec:
         embedding_dim=emb_spec.embedding_dim,
         hidden_dim=int(encoder_cfg.get("hidden_dim", 128)),
         dropout=float(encoder_cfg.get("dropout", 0.1)),
+        kernel_size=int(encoder_cfg.get("kernel_size", 3)),
+        num_layers=int(encoder_cfg.get("num_layers", 2)),
+        num_heads=int(encoder_cfg.get("num_heads", 4)),
+        max_len=int(encoder_cfg.get("max_len",
+                                    config.get("max_sequence_length", 128))),
     )
     dtype_name = str(config.get("precision", config.get("compute_dtype", "float32")))
     compute_dtype = jnp.bfloat16 if dtype_name in ("bf16", "bfloat16") else jnp.float32
@@ -200,6 +233,14 @@ def encode(params: Params, spec: TwoTowerSpec, ids: jnp.ndarray, tower: str = "q
         (batch, output_dim) float32 unit vectors.
     """
     _, tower_apply = TOWER_REGISTRY.get(spec.tower.arch)
+    if is_sequence_arch(spec.tower.arch):
+        lookup = embed_fn if embed_fn is not None else embed_ids
+        embedded = lookup(params["embedding"], spec.embedding, ids,
+                          dtype=spec.compute_dtype)
+        return tower_apply(
+            _tower_params(params, spec, tower), spec.tower, embedded, ids,
+            train=train, dropout_rng=dropout_rng,
+        )
     pooled = None
     if spec.fused_embed_pool and embed_fn is None:
         from ..kernels.pallas_embed_pool import fused_embed_pool

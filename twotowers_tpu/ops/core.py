@@ -36,16 +36,30 @@ def masked_mean_pool(embeddings: jnp.ndarray, token_ids: jnp.ndarray) -> jnp.nda
     return summed / (counts + jnp.asarray(POOL_EPS, embeddings.dtype))
 
 
+def _safe_norm(x: jnp.ndarray, axis, keepdims: bool, eps: float) -> jnp.ndarray:
+    """L2 norm whose gradient is zero (not NaN) at x == 0.
+
+    ``sqrt`` has an infinite derivative at 0, so a plain ``linalg.norm`` of an
+    exactly-zero vector (an all-pad row) produces NaN gradients that poison
+    the whole batch even when that row's loss is weight-masked (0 * NaN = NaN
+    in reverse-mode). Clamping *inside* the sqrt makes the derivative 0 there
+    while leaving the forward value identical: for norm >= eps the sqrt is
+    exact, and below eps the caller's denominator clamp dominates anyway.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, jnp.asarray(eps * eps, sq.dtype)))
+
+
 def l2_normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Unit-normalise along ``axis`` with torch F.normalize's eps clamp."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    norm = _safe_norm(x, axis, keepdims=True, eps=NORM_EPS)
     return x / jnp.maximum(norm, jnp.asarray(NORM_EPS, x.dtype))
 
 
 def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Cosine similarity along ``axis`` (torch F.cosine_similarity semantics)."""
-    a_norm = jnp.linalg.norm(a, axis=axis)
-    b_norm = jnp.linalg.norm(b, axis=axis)
+    a_norm = _safe_norm(a, axis, keepdims=False, eps=NORM_EPS)
+    b_norm = _safe_norm(b, axis, keepdims=False, eps=NORM_EPS)
     dot = jnp.sum(a * b, axis=axis)
     denom = jnp.maximum(a_norm * b_norm, jnp.asarray(COSINE_EPS, a.dtype))
     return dot / denom
