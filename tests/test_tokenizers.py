@@ -111,7 +111,7 @@ class TestRegistry:
 
     def test_unknown_name_raises(self):
         with pytest.raises(ValueError, match="Unknown tokenizer"):
-            build_tokenizer("bpe")
+            build_tokenizer("sentencepiece")
 
     def test_tokenizer_from_state(self):
         tok = WordTokenizer().fit(CORPUS)

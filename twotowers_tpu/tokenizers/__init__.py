@@ -2,6 +2,7 @@
 
 from .base import PAD_ID, TOKENIZER_REGISTRY, BaseTokenizer, build_tokenizer
 from .char import CharTokenizer
+from .subword import BPETokenizer, WordPieceTokenizer
 from .word import WordTokenizer
 
 # reference-layout alias (twotower.tokenisers.build) for migrated call sites
@@ -18,8 +19,10 @@ def tokenizer_from_state(state: dict) -> BaseTokenizer:
 __all__ = [
     "PAD_ID",
     "TOKENIZER_REGISTRY",
+    "BPETokenizer",
     "BaseTokenizer",
     "CharTokenizer",
+    "WordPieceTokenizer",
     "WordTokenizer",
     "build_tokenizer",
     "tokenizer_from_state",

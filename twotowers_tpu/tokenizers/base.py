@@ -98,5 +98,6 @@ class BaseTokenizer(ABC):
 
 
 def build_tokenizer(name: str, **kwargs: Any) -> BaseTokenizer:
-    """Build a tokenizer by registry name (``char`` or ``word``)."""
+    """Build a tokenizer by registry name
+    (``char`` / ``word`` / ``bpe`` / ``wordpiece``)."""
     return TOKENIZER_REGISTRY.build(name, **kwargs)
