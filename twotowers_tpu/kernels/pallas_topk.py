@@ -7,13 +7,24 @@ matmul + ``lax.top_k`` path does (for Q=256, N=1M that intermediate is 1 GB
 of HBM round-trip; document reads themselves are only ~0.5 GB).
 
 Design: grid over document tiles. Queries stay VMEM-resident across the
-whole sweep; each step runs one (Q, D) x (D, T) MXU matmul, masks rows past
-``n_docs``, and folds the tile into a running (Q, k) selection held in VMEM
-scratch (TPU grid steps run sequentially, so scratch carries state). The
-merge is selection-sort-style: k iterations of row-max + index extraction +
-knockout over the (Q, k+T) candidate matrix — pure VPU work, O(k(k+T))
-per row vs the matmul's O(D·T), negligible for k ≤ 64. Ties break toward
-the lower document index (XLA top_k's first-occurrence order).
+whole sweep; each step runs one (Q, D) x (D, T) MXU matmul and folds the
+tile into a running (Q, k_store) selection held in VMEM scratch (TPU grid
+steps run sequentially, so scratch carries state).
+
+Two levels of work-skipping keep the sweep at matmul/DMA speed:
+
+1. Tile prune: ``run_kth`` holds every query's current k-th best score. A
+   tile whose per-query maxima are all at or below that threshold cannot
+   change any top-k, so the merge is predicated away entirely — after the
+   first few tiles most tiles skip it.
+2. Demand-driven merge: the running top-k is kept SORTED (descending, XLA
+   top_k tie order). A firing tile is drained by a ``while_loop`` that
+   extracts the tile max, sorted-inserts it, knocks it out, and repeats only
+   while some query still improves — typically 1-3 iterations instead of a
+   fixed k passes over the (Q, k+T) candidate matrix. Ties break toward the
+   lower document index (XLA top_k's first-occurrence order): within a tile
+   via min-index extraction, across tiles because insertion goes after
+   equal-valued incumbents, which always carry lower doc indices.
 """
 
 from __future__ import annotations
@@ -38,38 +49,11 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _select_topk(vals: jnp.ndarray, idxs: jnp.ndarray, k: int):
-    """(Q, C) candidates -> ((Q, k) best, ties to smallest doc index,
-    plus the (Q, 1) k-th best value for threshold pruning)."""
-    out_vals = []
-    out_idxs = []
-    best = None
-    for _ in range(k):
-        best = jnp.max(vals, axis=1, keepdims=True)                 # (Q, 1)
-        is_best = vals >= best                                      # ties included
-        cand_idx = jnp.where(is_best, idxs, BIG_IDX)
-        chosen = jnp.min(cand_idx, axis=1, keepdims=True)           # (Q, 1)
-        out_vals.append(best)
-        out_idxs.append(chosen)
-        knockout = idxs == chosen
-        vals = jnp.where(knockout, NEG_INF, vals)
-    return jnp.concatenate(out_vals, axis=1), jnp.concatenate(out_idxs, axis=1), best
-
-
 def _kernel(n_docs_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref,
-            run_vals, run_idx, run_kth, *, k: int, k_store: int, tile_n: int):
-    """Selection runs k true iterations; scratch/outputs are lane-padded to
-    k_store columns (trailing columns stay NEG_INF/BIG_IDX sentinels).
-
-    Threshold pruning: ``run_kth`` holds every query's current k-th best
-    score broadcast across its row. A tile whose per-query maxima are all at
-    or below that threshold cannot change any top-k, so the whole O(k·(k+T))
-    selection merge is predicated away — after the first few tiles almost
-    every tile skips it and the kernel runs at matmul speed.
-    """
+            run_vals, run_idx, run_kth, work,
+            *, k: int, k_store: int, tile_n: int):
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
-    q_rows = run_vals.shape[0]
 
     @pl.when(step == 0)
     def _init():
@@ -84,29 +68,56 @@ def _kernel(n_docs_ref, q_ref, docs_ref, out_vals_ref, out_idx_ref,
     )  # (Q, T)
 
     base = step * tile_n
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
-    valid = col < n_docs_ref[0]
-    scores = jnp.where(valid, scores, NEG_INF)
-    col = jnp.where(valid, col, BIG_IDX)
-
-    tile_max = jnp.max(scores, axis=1, keepdims=True)        # (Q, 1)
-    any_candidate = jnp.any(tile_max > run_kth[:])           # scalar
+    # Padded doc rows (zero vectors, score 0) exist only in the final tile;
+    # masking them is deferred into the merge so the common per-tile path is
+    # just matmul + one row-max + the prune test. A padded zero score can at
+    # worst trigger one spurious merge on that final tile.
+    tile_max = jnp.max(scores, axis=1, keepdims=True)            # (Q, 1)
+    any_candidate = jnp.any(tile_max > run_kth[:, :1])           # scalar
 
     @pl.when(any_candidate)
     def _merge():
-        # dead k_store-k sentinel columns ride along; they never win a max
-        vals = jnp.concatenate([run_vals[:], scores], axis=1)
-        idxs = jnp.concatenate([run_idx[:], col], axis=1)
-        new_vals, new_idx, kth = _select_topk(vals, idxs, k)
+        local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        work[:] = jnp.where(local < (n_docs_ref[0] - base), scores, NEG_INF)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (run_vals.shape[0], k_store), 1)
+        kth_lane = lane == (k - 1)
+
+        def cond(carry):
+            smax, rv, ri, kth = carry
+            return jnp.any(smax > kth)
+
+        def body(carry):
+            smax, rv, ri, kth = carry
+            s = work[:]
+            v = smax                                              # (Q, 1)
+            cand = jnp.where(s >= v, local, BIG_IDX)
+            loc = jnp.min(cand, axis=1, keepdims=True)            # (Q, 1)
+            s = jnp.where(local == loc, NEG_INF, s)               # knockout
+            work[:] = s
+            improve = v > kth                                     # (Q, 1)
+
+            # sorted insert of (v, loc+base) after equal-valued incumbents;
+            # masks as int32 (Mosaic rejects shifted/concatenated i1 vectors)
+            ge = jnp.where(rv >= v, 1, 0)                         # prefix of 1s
+            ge_prev = jnp.where(lane == 0, 1, pltpu.roll(ge, 1, axis=1))
+            at_slot = (ge_prev == 1) & (ge == 0)
+            rv_shift = pltpu.roll(rv, 1, axis=1)
+            ri_shift = pltpu.roll(ri, 1, axis=1)
+            new_rv = jnp.where(ge == 1, rv, jnp.where(at_slot, v, rv_shift))
+            new_ri = jnp.where(ge == 1, ri,
+                               jnp.where(at_slot, loc + base, ri_shift))
+            rv = jnp.where(improve, new_rv, rv)
+            ri = jnp.where(improve, new_ri, ri)
+            kth = jnp.sum(jnp.where(kth_lane, rv, 0.0), axis=1, keepdims=True)
+            smax = jnp.max(s, axis=1, keepdims=True)
+            return (smax, rv, ri, kth)
+
+        init = (jnp.max(work[:], axis=1, keepdims=True),
+                run_vals[:], run_idx[:], run_kth[:, :1])
+        _, rv, ri, kth = jax.lax.while_loop(cond, body, init)
+        run_vals[:] = rv
+        run_idx[:] = ri
         run_kth[:] = jnp.broadcast_to(kth, run_kth.shape)
-        pad = k_store - k
-        if pad:
-            new_vals = jnp.concatenate(
-                [new_vals, jnp.full((q_rows, pad), NEG_INF, jnp.float32)], axis=1)
-            new_idx = jnp.concatenate(
-                [new_idx, jnp.full((q_rows, pad), BIG_IDX, jnp.int32)], axis=1)
-        run_vals[:] = new_vals
-        run_idx[:] = new_idx
 
     @pl.when(step == num_steps - 1)
     def _emit():
@@ -156,6 +167,7 @@ def _score_topk_pallas(
             pltpu.VMEM((q_padded, k_padded), jnp.float32),
             pltpu.VMEM((q_padded, k_padded), jnp.int32),
             pltpu.VMEM((q_padded, LANE), jnp.float32),  # kth-best threshold
+            pltpu.VMEM((q_padded, tile_n), jnp.float32),  # merge workspace
         ],
     )
     vals, idx = pl.pallas_call(
