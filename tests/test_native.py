@@ -77,15 +77,24 @@ class TestThroughput:
                  f"about topic {i % 50} and more words" for i in range(5000)]
         tok = CharTokenizer().fit(texts)
 
-        t0 = time.perf_counter()
-        native = tok.encode_batch(texts, 64)
-        native_time = time.perf_counter() - t0
-
         from twotowers_tpu.tokenizers.base import BaseTokenizer
 
-        t0 = time.perf_counter()
-        python = BaseTokenizer.encode_batch(tok, texts, 64)
-        python_time = time.perf_counter() - t0
+        # Warm both paths first: the native call lazily loads (and may build)
+        # the shared library, which must not land in the timed section.
+        tok.encode_batch(texts[:128], 64)
+        BaseTokenizer.encode_batch(tok, texts[:128], 64)
+
+        def best_of(fn, n=3):
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out = fn()
+                best = min(best, time.perf_counter() - t0)
+            return out, best
+
+        native, native_time = best_of(lambda: tok.encode_batch(texts, 64))
+        python, python_time = best_of(
+            lambda: BaseTokenizer.encode_batch(tok, texts, 64))
 
         np.testing.assert_array_equal(native, python)
         assert native_time < python_time * 1.5  # generous: no regression
