@@ -12,6 +12,16 @@ vs_baseline divides by the reference implementation's measured throughput on
 this host (tools/measure_reference_baseline.py drives the reference's own
 PyTorch code: 6945.4 pairs/sec CPU — the reference has no TPU path; see
 BASELINE.md).
+
+Timing methodology (same relay-proof protocol as tools/bench_topk.py): the
+chip sits behind a relay where ``block_until_ready`` acks without waiting for
+execution and every array readback costs one ~26 ms round-trip, so per-step
+wall timing measures dispatch rate, not device throughput. Instead each
+measurement chains N train steps inside ONE ``lax.scan`` whose carry is the
+full train state — step i+1's update data-depends on every element of step
+i's params and optimizer state, so nothing can be skipped or overlapped — and
+reads back a single scalar derived from the final loss. Per-step device time
+is (T(N) - T(1)) / (N - 1), best of 3 trials.
 """
 
 from __future__ import annotations
@@ -27,8 +37,9 @@ import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 6945.4  # torch-CPU reference, same host (BASELINE.md)
 
-VOCAB, SEQ, BATCH = 96, 64, 1024
-WARMUP, STEPS = 5, 30
+VOCAB, SEQ, BATCH = 96, 64, 16384
+CHAIN = 33  # steps chained per measurement scan
+TRIALS = 3
 
 
 def main() -> int:
@@ -54,31 +65,42 @@ def main() -> int:
     loss_def = build_loss("triplet", margin=0.2)
     optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 1e-3}})
     step = make_train_step(spec, loss_def, optimizer)
-    state = create_train_state(params, optimizer)
 
     rng = np.random.default_rng(0)
-    batches = [
-        tuple(
-            jax.device_put(rng.integers(1, VOCAB, size=(BATCH, SEQ)).astype(np.int32))
-            for _ in range(3)
-        )
-        for _ in range(4)
-    ]
+    q, p, n = (
+        jax.device_put(rng.integers(1, VOCAB, size=(BATCH, SEQ)).astype(np.int32))
+        for _ in range(3)
+    )
     weights = jax.device_put(np.ones(BATCH, np.float32))
 
-    for i in range(WARMUP):
-        q, p, n = batches[i % len(batches)]
-        state, metrics = step(state, q, p, n, weights)
-    jax.block_until_ready(metrics["loss"])
+    def make_chained(iters: int):
+        @jax.jit
+        def run(state):
+            def body(st, _):
+                st, metrics = step(st, q, p, n, weights)
+                return st, metrics["loss"]
+            final, losses = jax.lax.scan(body, state, None, length=iters)
+            # single-scalar readback that data-depends on the whole chain
+            return losses[-1]
+        return run
 
-    start = time.perf_counter()
-    for i in range(STEPS):
-        q, p, n = batches[i % len(batches)]
-        state, metrics = step(state, q, p, n, weights)
-    jax.block_until_ready(metrics["loss"])
-    elapsed = time.perf_counter() - start
+    one = make_chained(1)
+    many = make_chained(CHAIN)
 
-    pairs_per_sec = STEPS * BATCH / elapsed
+    def best(fn):
+        out = float("inf")
+        for _ in range(TRIALS):
+            state = create_train_state(params, optimizer)
+            float(fn(state))  # warm cache / compile on first trial
+            t0 = time.perf_counter()
+            float(fn(state))  # scalar readback = real completion
+            out = min(out, time.perf_counter() - t0)
+        return out
+
+    t1, tn = best(one), best(many)
+    per_step = max(tn - t1, 1e-9) / (CHAIN - 1)
+
+    pairs_per_sec = BATCH / per_step
     print(json.dumps({
         "metric": "train_throughput_char_tower_1chip",
         "value": round(pairs_per_sec, 1),

@@ -143,6 +143,16 @@ def init_embedding(rng: jax.Array, spec: EmbeddingSpec) -> Dict[str, jnp.ndarray
     return EMBEDDING_REGISTRY.get(spec.kind)(rng, spec)
 
 
+# Below this vocab size the lookup is computed as one_hot(ids) @ table so
+# that BOTH directions are MXU matmuls. The autodiff transpose of a gather is
+# a scatter-add, and with a small vocabulary nearly every index in the batch
+# collides, which serialises the TPU scatter (measured: 561us @ B=1024 and
+# 2.3ms @ B=4096 for a 96-row table, vs noise-floor for the matmul form).
+# Above the threshold the (B, S, V) one-hot is too large to materialise and
+# collisions are rare, so the plain gather wins.
+_ONE_HOT_MAX_VOCAB = 512
+
+
 def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndarray,
               dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """Gather embeddings for ids; frozen tables are stop-gradient'ed so no
@@ -150,7 +160,12 @@ def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndar
     table = params["table"]
     if not spec.trainable:
         table = jax.lax.stop_gradient(table)
-    out = jnp.take(table.astype(dtype), ids, axis=0)
+    if spec.trainable and spec.vocab_size <= _ONE_HOT_MAX_VOCAB:
+        one_hot = jax.nn.one_hot(ids, spec.vocab_size, dtype=dtype)
+        out = jnp.einsum("...v,vd->...d", one_hot, table.astype(dtype),
+                         preferred_element_type=jnp.float32).astype(dtype)
+    else:
+        out = jnp.take(table.astype(dtype), ids, axis=0)
     if "pos" in params:  # 'positional' kind: learned position offsets
         pos = params["pos"]
         if not spec.trainable:
