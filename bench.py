@@ -6,22 +6,37 @@ embed 64, hidden 128, tied towers, triplet loss — the reference's
 char_tower.yml shape) as the fused jit train step in bf16 on whatever single
 chip is visible, and prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": "pairs/sec", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "pairs/sec", "vs_baseline": N,
+     "mfu": ..., "tflops": ..., "extra": {...}}
 
 vs_baseline divides by the reference implementation's measured throughput on
 this host (tools/measure_reference_baseline.py drives the reference's own
 PyTorch code: 6945.4 pairs/sec CPU — the reference has no TPU path; see
-BASELINE.md).
+BASELINE.md). "extra" carries two more first-class numbers: the transformer
+tower's training throughput (a non-toy shape with a word-scale vocab) and the
+1M-doc end-to-end index-search QPS (the BASELINE.md north star), both
+measured with the same protocol.
+
+MFU: each shape has an explicit FLOP model (see _char_flops/_tf_flops —
+matmul terms only, elementwise/norm/pool ignored). The char model's
+embedding lookup is deliberately implemented as a one-hot MXU matmul in both
+directions (models/embeddings.py), so its FLOPs are real executed work and
+are counted; the hardware additionally lane-pads vocab 96 -> 128, so true
+MXU occupancy is ~4/3 higher than the reported MFU. Peak comes from a
+device_kind table; unknown chips report mfu=null.
 
 Timing methodology (same relay-proof protocol as tools/bench_topk.py): the
 chip sits behind a relay where ``block_until_ready`` acks without waiting for
 execution and every array readback costs one ~26 ms round-trip, so per-step
 wall timing measures dispatch rate, not device throughput. Instead each
 measurement chains N train steps inside ONE ``lax.scan`` whose carry is the
-full train state — step i+1's update data-depends on every element of step
-i's params and optimizer state, so nothing can be skipped or overlapped — and
-reads back a single scalar derived from the final loss. Per-step device time
-is (T(N) - T(1)) / (N - 1), best of 3 trials.
+full train state plus a running sum of EVERY metric (so grad_norm and the
+similarity stats stay live — nothing is dead code XLA can eliminate), each
+step consumes a different batch from a device-resident pool indexed by the
+scan counter (so per-step input work — one_hot, masks — cannot be hoisted
+out of the loop), and a single scalar is read back. Per-step device time is
+(T(N) - T(1)) / (N - 1), best of 3 trials; a noise-inverted measurement
+(T(N) <= T(1)) is an error, not a clamp.
 """
 
 from __future__ import annotations
@@ -37,27 +52,109 @@ import numpy as np
 
 REFERENCE_PAIRS_PER_SEC = 6945.4  # torch-CPU reference, same host (BASELINE.md)
 
-VOCAB, SEQ, BATCH = 96, 64, 16384
-CHAIN = 33  # steps chained per measurement scan
+CHAIN = 33   # steps chained per measurement scan
 TRIALS = 3
+POOL = 4     # distinct device-resident batches cycled inside the scan
+
+# peak dense bf16 matmul throughput per chip, by device_kind substring
+# (ordered: first match wins)
+_PEAK_BF16 = [
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+    ("v4", 275e12),
+]
 
 
-def main() -> int:
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _char_flops(batch: int, seq: int, vocab: int, emb: int, hid: int) -> float:
+    """Matmul FLOPs per char-tower train step (triplet loss: 3 encoded texts).
+
+    one-hot embed: fwd 2*B*S*V*D, bwd (table grad) 2*B*S*V*D;
+    linear D->H and H->H: fwd 2*B*in*out, bwd (dW + dX) 4*B*in*out.
+    """
+    per_text = 4 * batch * seq * vocab * emb \
+        + 6 * batch * emb * hid + 6 * batch * hid * hid
+    return 3.0 * per_text
+
+
+def _tf_flops(batch: int, seq: int, emb: int, hid: int, layers: int) -> float:
+    """Matmul FLOPs per transformer-tower train step (in_batch loss: 2 texts).
+
+    Embedding is a gather (vocab > one-hot threshold): 0 matmul FLOPs.
+    fwd per text: input proj 2*B*L*D*H, per layer QKV+O 8*B*L*H^2 +
+    attention 4*B*L^2*H + FFN(4x) 16*B*L*H^2; bwd ~= 2x fwd.
+    Loss similarity matmul: 2*B^2*H fwd, 3x with bwd.
+    """
+    fwd = 2 * batch * seq * emb * hid + layers * (
+        24 * batch * seq * hid * hid + 4 * batch * seq * seq * hid)
+    return 2 * 3.0 * fwd + 3.0 * 2 * batch * batch * hid
+
+
+def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights):
+    """Relay-proof per-step time for a train step over a pool of batches."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_chained(iters: int):
+        @jax.jit
+        def run(state):
+            def body(carry, i):
+                st, acc = carry
+                idx = jnp.mod(i, POOL)
+                q = jax.lax.dynamic_index_in_dim(q_pool, idx, keepdims=False)
+                p = jax.lax.dynamic_index_in_dim(p_pool, idx, keepdims=False)
+                n = (None if n_pool is None else
+                     jax.lax.dynamic_index_in_dim(n_pool, idx, keepdims=False))
+                st, metrics = step(st, q, p, n, weights)
+                # keep EVERY metric live in the carry
+                acc = acc + sum(jnp.asarray(v, jnp.float32).sum()
+                                for v in metrics.values())
+                return (st, acc), None
+            (_, acc), _ = jax.lax.scan(
+                body, (state, jnp.float32(0.0)), jnp.arange(iters))
+            return acc
+        return run
+
+    one, many = make_chained(1), make_chained(CHAIN)
+
+    def best(fn):
+        out = float("inf")
+        for _ in range(TRIALS):
+            state = state_of()
+            float(fn(state))  # warm cache / compile on first trial
+            state = state_of()
+            t0 = time.perf_counter()
+            float(fn(state))  # scalar readback = real completion
+            out = min(out, time.perf_counter() - t0)
+        return out
+
+    t1, tn = best(one), best(many)
+    if tn <= t1:
+        raise RuntimeError(
+            f"noise-inverted measurement: T({CHAIN})={tn:.4f}s <= T(1)={t1:.4f}s")
+    return (tn - t1) / (CHAIN - 1)
+
+
+def _bench_char_tower():
     import jax
     import jax.numpy as jnp
 
     from twotowers_tpu.models import (
-        EmbeddingSpec,
-        TowerSpec,
-        TwoTowerSpec,
-        build_loss,
-        init_two_tower,
-    )
-    from twotowers_tpu.train import build_optimizer, create_train_state, make_train_step
+        EmbeddingSpec, TowerSpec, TwoTowerSpec, build_loss, init_two_tower)
+    from twotowers_tpu.train import (
+        build_optimizer, create_train_state, make_train_step)
 
+    vocab, seq, batch, emb, hid = 96, 64, 16384, 64, 128
     spec = TwoTowerSpec(
-        embedding=EmbeddingSpec(kind="lookup", vocab_size=VOCAB, embedding_dim=64),
-        tower=TowerSpec(arch="mean", embedding_dim=64, hidden_dim=128),
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab, embedding_dim=emb),
+        tower=TowerSpec(arch="mean", embedding_dim=emb, hidden_dim=hid),
         tied_weights=True,
         compute_dtype=jnp.bfloat16,
     )
@@ -68,44 +165,171 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     q, p, n = (
-        jax.device_put(rng.integers(1, VOCAB, size=(BATCH, SEQ)).astype(np.int32))
+        jax.device_put(
+            rng.integers(1, vocab, size=(POOL, batch, seq)).astype(np.int32))
         for _ in range(3)
     )
-    weights = jax.device_put(np.ones(BATCH, np.float32))
+    weights = jax.device_put(np.ones(batch, np.float32))
+
+    per_step = _measure_train(
+        step, lambda: create_train_state(params, optimizer), q, p, n, weights)
+    gflops = _char_flops(batch, seq, vocab, emb, hid) / 1e9
+    return {
+        "pairs_per_sec": batch / per_step,
+        "step_time_ms": per_step * 1e3,
+        "gflops_per_step": gflops,
+        "tflops": gflops / per_step / 1e3,
+    }
+
+
+def _bench_transformer_tower():
+    import jax
+    import jax.numpy as jnp
+
+    from twotowers_tpu.models import (
+        EmbeddingSpec, TowerSpec, TwoTowerSpec, build_loss, init_two_tower)
+    from twotowers_tpu.train import (
+        build_optimizer, create_train_state, make_train_step)
+
+    vocab, seq, batch, emb, hid, layers = 8192, 48, 4096, 128, 128, 2
+    spec = TwoTowerSpec(
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab,
+                                embedding_dim=emb),
+        tower=TowerSpec(arch="transformer", embedding_dim=emb, hidden_dim=hid,
+                        num_layers=layers, num_heads=4, max_len=seq,
+                        dropout=0.0),
+        tied_weights=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = init_two_tower(jax.random.PRNGKey(0), spec)
+    loss_def = build_loss("in_batch", temperature=0.1)
+    optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 1e-3}})
+    step = make_train_step(spec, loss_def, optimizer)
+
+    rng = np.random.default_rng(0)
+    q, p = (
+        jax.device_put(
+            rng.integers(1, vocab, size=(POOL, batch, seq)).astype(np.int32))
+        for _ in range(2)
+    )
+    weights = jax.device_put(np.ones(batch, np.float32))
+
+    per_step = _measure_train(
+        step, lambda: create_train_state(params, optimizer), q, p, None, weights)
+    gflops = _tf_flops(batch, seq, emb, hid, layers) / 1e9
+    return {
+        "shape": f"vocab{vocab}_seq{seq}_emb{emb}_hid{hid}_L{layers}_b{batch}",
+        "pairs_per_sec": round(batch / per_step, 1),
+        "step_time_ms": round(per_step * 1e3, 3),
+        "gflops_per_step": round(gflops, 2),
+        "tflops": round(gflops / per_step / 1e3, 1),
+    }
+
+
+def _bench_index_qps(n_docs: int = 1_000_000, dim: int = 128, k: int = 10,
+                     q_batch: int = 256):
+    """End-to-end encode + Pallas fused score+top-k at 1M docs (north star)."""
+    import jax
+    import jax.numpy as jnp
+
+    import twotowers_tpu.kernels  # noqa: F401  registers the Pallas impl
+    from twotowers_tpu.models import (
+        EmbeddingSpec, TowerSpec, TwoTowerSpec, init_two_tower)
+    from twotowers_tpu.models.towers import encode
+    from twotowers_tpu.ops.topk_score import score_topk
+
+    vocab, seq = 96, 64
+    spec = TwoTowerSpec(
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab, embedding_dim=64),
+        tower=TowerSpec(arch="mean", embedding_dim=64, hidden_dim=dim),
+        tied_weights=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = init_two_tower(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(0)
+    docs = rng.standard_normal((n_docs, dim), dtype=np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    docs_d = jax.device_put(docs.astype(jnp.bfloat16))
+    ids = jax.device_put(
+        rng.integers(1, vocab, size=(q_batch, seq)).astype(np.int32))
 
     def make_chained(iters: int):
         @jax.jit
-        def run(state):
-            def body(st, _):
-                st, metrics = step(st, q, p, n, weights)
-                return st, metrics["loss"]
-            final, losses = jax.lax.scan(body, state, None, length=iters)
-            # single-scalar readback that data-depends on the whole chain
-            return losses[-1]
+        def run(table):
+            def body(tab, _):
+                p = dict(params)
+                p["embedding"] = dict(params["embedding"], table=tab)
+                qv = encode(p, spec, ids, "query", train=False, dropout_rng=None)
+                v, i = score_topk(docs_d, qv.astype(jnp.bfloat16), k)
+                dep = jnp.mean(v) + jnp.mean(i.astype(jnp.float32))
+                return tab + (dep * 1e-30).astype(tab.dtype), None
+            tab, _ = jax.lax.scan(body, table, None, length=iters)
+            return tab[0, 0]
         return run
 
-    one = make_chained(1)
-    many = make_chained(CHAIN)
+    table0 = params["embedding"]["table"]
+    chain = 13
+    one, many = make_chained(1), make_chained(chain)
 
     def best(fn):
         out = float("inf")
+        float(fn(table0))
         for _ in range(TRIALS):
-            state = create_train_state(params, optimizer)
-            float(fn(state))  # warm cache / compile on first trial
             t0 = time.perf_counter()
-            float(fn(state))  # scalar readback = real completion
+            float(fn(table0))
             out = min(out, time.perf_counter() - t0)
         return out
 
     t1, tn = best(one), best(many)
-    per_step = max(tn - t1, 1e-9) / (CHAIN - 1)
+    if tn <= t1:
+        raise RuntimeError("noise-inverted QPS measurement")
+    per = (tn - t1) / (chain - 1)
+    return {
+        "n_docs": n_docs, "dim": dim, "k": k, "q_batch": q_batch,
+        "qps": round(q_batch / per, 1),
+        "ms_per_batch": round(per * 1e3, 3),
+        "doc_scan_gb_per_s": round(n_docs * dim * 2 / per / 1e9, 1),
+    }
 
-    pairs_per_sec = BATCH / per_step
+
+def _note(msg: str) -> None:
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import jax
+
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+
+    _note("char tower train bench...")
+    char = _bench_char_tower()
+    _note(f"char tower done: {char['pairs_per_sec']:,.0f} pairs/s")
+    extra = {}
+    for name, fn in (("transformer_tower_train", _bench_transformer_tower),
+                     ("index_search_1m_docs", _bench_index_qps)):
+        _note(f"{name}...")
+        try:
+            extra[name] = fn()
+            _note(f"{name} done")
+        except Exception as exc:  # keep the headline alive
+            extra[name] = {"error": f"{type(exc).__name__}: {exc}"}
+            _note(f"{name} FAILED: {exc}")
+    if peak is not None and "tflops" in extra.get("transformer_tower_train", {}):
+        extra["transformer_tower_train"]["mfu"] = round(
+            extra["transformer_tower_train"]["tflops"] * 1e12 / peak, 3)
+
     print(json.dumps({
         "metric": "train_throughput_char_tower_1chip",
-        "value": round(pairs_per_sec, 1),
+        "value": round(char["pairs_per_sec"], 1),
         "unit": "pairs/sec",
-        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(char["pairs_per_sec"] / REFERENCE_PAIRS_PER_SEC, 2),
+        "step_time_ms": round(char["step_time_ms"], 3),
+        "gflops_per_step": round(char["gflops_per_step"], 2),
+        "tflops": round(char["tflops"], 1),
+        "mfu": (round(char["tflops"] * 1e12 / peak, 3) if peak else None),
+        "device": getattr(device, "device_kind", str(device)),
+        "extra": extra,
     }))
     return 0
 

@@ -255,3 +255,107 @@ class TestShardedTrainStep:
             state, metrics = step(state, *batch)
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestMultiHostPaths:
+    """The multi-process-safe feed / eval / checkpoint paths, exercised on
+    the single-process 8-device CPU mesh (VERDICT r2 item 4)."""
+
+    def _data(self, np_rng, batch=16, seq=12, vocab=50):
+        q = np_rng.integers(1, vocab, size=(batch, seq)).astype(np.int32)
+        p = np_rng.integers(1, vocab, size=(batch, seq)).astype(np.int32)
+        n = np_rng.integers(1, vocab, size=(batch, seq)).astype(np.int32)
+        w = np.ones(batch, np.float32)
+        return q, p, n, w
+
+    def test_per_process_placement_matches_device_put(self, np_rng):
+        """The per-device assembly path (required multi-host) produces the
+        same values and shardings as the single device_put of the global
+        batch."""
+        mesh = make_mesh(data=4, model=2)
+        q, p, n, w = self._data(np_rng, batch=13)  # 13: exercises padding
+        a = shard_batch(mesh, q, p, n, w, per_process=False)
+        b = shard_batch(mesh, q, p, n, w, per_process=True)
+        for x, y in zip(a, b):
+            assert x.sharding.is_equivalent_to(y.sharding, x.ndim)
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    @pytest.mark.parametrize("loss", ["in_batch", "triplet"])
+    def test_sharded_eval_matches_unsharded(self, np_rng, loss):
+        """make_sharded_eval_step == make_eval_step on the same global batch
+        (the global-negative pool over the data axis is exactly the local
+        in-batch pool of the full batch)."""
+        from twotowers_tpu.parallel import make_sharded_eval_step
+        from twotowers_tpu.train.step import make_eval_step
+
+        spec = _spec()
+        params = init_two_tower(jax.random.PRNGKey(3), spec)
+        loss_def = build_loss(loss)
+        q, p, n, w = self._data(np_rng)
+        negs = None if loss == "in_batch" else n
+
+        base = make_eval_step(spec, loss_def)
+        want = base(params, q, p, negs, w)
+
+        mesh = make_mesh(data=4, model=2)
+        sharded_params = shard_params(params, mesh, shard_vocab=True)
+        eval_step = make_sharded_eval_step(spec, loss_def, mesh)
+        batch = shard_batch(mesh, q, p, negs, w)
+        got = eval_step(sharded_params, *batch)
+
+        for key in ("loss", "pos_similarity", "neg_similarity"):
+            np.testing.assert_allclose(
+                float(got[key]), float(want[key]), rtol=2e-4, atol=1e-6)
+
+    def test_sharded_checkpoint_roundtrip(self, np_rng, tmp_path):
+        """Sharded params save/restore: orbax restores onto the template's
+        shardings, so a distributed run can resume with row-sharded tables
+        intact (multi-host checkpoint contract)."""
+        from twotowers_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        spec = _spec(vocab=48)
+        params = init_two_tower(jax.random.PRNGKey(5), spec)
+        optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 0.01}})
+        mesh = make_mesh(data=4, model=2)
+        step = make_sharded_train_step(spec, build_loss("triplet"), optimizer, mesh)
+        state = create_sharded_train_state(params, optimizer, mesh)
+        q, p, n, w = self._data(np_rng, vocab=48)
+        state, _ = step(state, *shard_batch(mesh, q, p, n, w))
+
+        path = save_checkpoint(
+            {"params": state.params, "opt_state": state.opt_state},
+            str(tmp_path), save_best=False)
+
+        # fresh sharded template (as a resuming process would build)
+        template_state = create_sharded_train_state(
+            init_two_tower(jax.random.PRNGKey(5), spec), optimizer, mesh)
+        restored, _ = load_checkpoint(
+            path, {"params": template_state.params,
+                   "opt_state": template_state.opt_state})
+
+        table = restored["params"]["embedding"]["table"]
+        assert table.sharding.spec == P("model", None)
+        np.testing.assert_array_equal(
+            np.asarray(table), np.asarray(state.params["embedding"]["table"]))
+        got_w1 = np.asarray(restored["params"]["query_tower"]["w1"])
+        np.testing.assert_array_equal(
+            got_w1, np.asarray(state.params["query_tower"]["w1"]))
+
+    def test_uneven_vocab_split_step(self, np_rng):
+        """model axis not dividing the vocabulary: table is padded, step runs,
+        loss is finite and decreases."""
+        spec = _spec(vocab=51)  # 51 not divisible by model=2
+        params = init_two_tower(jax.random.PRNGKey(7), spec)
+        loss_def = build_loss("in_batch")
+        optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 0.01}})
+        mesh = make_mesh(data=4, model=2)
+        step = make_sharded_train_step(spec, loss_def, optimizer, mesh)
+        state = create_sharded_train_state(params, optimizer, mesh)
+        q, p, n, w = self._data(np_rng, vocab=51)
+        batch = shard_batch(mesh, q, p, None, w)
+        losses = []
+        for _ in range(10):
+            state, metrics = step(state, *batch)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

@@ -155,3 +155,64 @@ class TestReports:
         assert stats == {"first": 1.0, "last": 3.0, "min": 1.0,
                          "max": 3.0, "mean": 2.0}
         assert summarise_series([]) == {}
+
+
+def _make_run(root, name, lr, batch_size, final_loss):
+    """Synthetic run dir with a config that varies and a final epoch loss."""
+    run = root / name
+    run.mkdir()
+    records = [
+        {"train/batch": i, "train/batch_loss": final_loss + (10 - i) * 0.05}
+        for i in range(10)
+    ]
+    records.append({"epoch": 1, "train/epoch_loss": final_loss,
+                    "train/learning_rate": lr, "train/batch_size": batch_size})
+    with open(run / f"{name}_metrics.jsonl", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    (run / "resolved_config.yml").write_text(
+        f"batch_size: {batch_size}\noptimizer:\n  lr: {lr}\n"
+        "encoder:\n  hidden_dim: 32\n")
+    return run
+
+
+class TestCrossRunAnalyses:
+    """Parallel-coordinates + parameter-importance analogues of the
+    reference's hosted panels (reference reports/blocks.py:184-213)."""
+
+    def test_parallel_coordinates_lists_varying_axes_only(self, tmp_path):
+        runs = [_make_run(tmp_path, f"r{i}", lr, 8, 1.0 - i * 0.2)
+                for i, lr in enumerate([1e-3, 3e-3, 1e-2])]
+        path = create_comparison_report([str(r) for r in runs])
+        text = open(path).read()
+        assert "Parallel coordinates" in text
+        assert "optimizer.lr" in text       # varies -> an axis
+        assert "encoder.hidden_dim" not in text  # identical -> dropped
+
+    def test_parameter_importance_ranks_correlated_param(self, tmp_path):
+        # loss decreases exactly as lr increases -> |corr(lr, loss)| == 1;
+        # batch_size is constant -> excluded
+        losses = [0.9, 0.6, 0.3, 0.1]
+        lrs = [1e-3, 3e-3, 6e-3, 1e-2]
+        runs = [_make_run(tmp_path, f"r{i}", lr, 8, loss)
+                for i, (lr, loss) in enumerate(zip(lrs, losses))]
+        path = create_comparison_report([str(r) for r in runs])
+        text = open(path).read()
+        assert "Parameter importance" in text
+        assert "optimizer.lr" in text
+        assert "batch_size" not in text.split("Parameter importance")[1]
+
+    def test_parameter_importance_needs_three_runs(self, tmp_path):
+        runs = [_make_run(tmp_path, f"r{i}", lr, 8, 0.5)
+                for i, lr in enumerate([1e-3, 1e-2])]
+        path = create_comparison_report([str(r) for r in runs])
+        text = open(path).read()
+        assert "Needs >= 3 runs" in text
+
+    def test_as_wandb_panels_rejects_empty_records(self):
+        from twotowers_tpu.reports.blocks import as_wandb_panels
+
+        with pytest.raises((ValueError, RuntimeError)):
+            # ValueError (no records) even before the optional-dependency
+            # RuntimeError can trigger
+            as_wandb_panels([])

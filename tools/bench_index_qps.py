@@ -20,6 +20,7 @@ scalar readback; (T(N) - T(1)) / (N - 1).
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -30,8 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import twotowers_tpu.kernels  # noqa: F401  registers the Pallas score+top-k impl
 from twotowers_tpu.models import EmbeddingSpec, TowerSpec, TwoTowerSpec, init_two_tower
 from twotowers_tpu.models.towers import encode
+from twotowers_tpu.ops import topk_score
 from twotowers_tpu.ops.topk_score import score_topk
 
 VOCAB, SEQ = 96, 64
@@ -75,8 +78,12 @@ def main() -> int:
 
     table0 = params["embedding"]["table"]
 
-    print(f"end-to-end search (encode + fused score+top-k), "
+    assert topk_score._pallas_impl is not None, (
+        "Pallas score+top-k impl not registered; this bench would silently "
+        "time the XLA fallback")
+    print(f"end-to-end search (encode + Pallas fused score+top-k), "
           f"{n_docs:,} docs x {dim} bf16, k={k}:")
+    rows = []
     for q_batch in (1, 32, 256):
         ids = jax.device_put(
             rng.integers(1, VOCAB, size=(q_batch, SEQ)).astype(np.int32))
@@ -84,7 +91,14 @@ def main() -> int:
         float(one(table0)); float(many(table0))
         t1 = min(_t(one, table0) for _ in range(3))
         tn = min(_t(many, table0) for _ in range(3))
-        per = max(tn - t1, 1e-9) / (CHAIN - 1)
+        if tn <= t1:
+            raise RuntimeError(
+                f"noise-inverted measurement at Q={q_batch}: T({CHAIN})={tn:.4f}s"
+                f" <= T(1)={t1:.4f}s — rerun")
+        per = (tn - t1) / (CHAIN - 1)
+        rows.append({"q_batch": q_batch, "ms_per_batch": round(per * 1e3, 3),
+                     "qps": round(q_batch / per, 1),
+                     "doc_scan_gb_per_s": round(n_docs * dim * 2 / per / 1e9, 1)})
         print(f"  Q={q_batch:4d}: {per * 1e3:8.3f} ms/batch   "
               f"{q_batch / per:10.0f} QPS   "
               f"doc-scan {n_docs * dim * 2 / per / 1e9:7.1f} GB/s")
@@ -100,6 +114,18 @@ def main() -> int:
     t_tok = (time.perf_counter() - t0) / 20
     print(f"host tokenize (char, native): {len(texts) / t_tok:,.0f} queries/s "
           f"({t_tok / len(texts) * 1e6:.1f} us/query)")
+
+    out_path = Path(__file__).resolve().parents[1] / "QPS_1M.json"
+    out_path.write_text(json.dumps({
+        "bench": "end_to_end_index_search",
+        "n_docs": n_docs, "dim": dim, "k": k, "dtype": "bfloat16",
+        "path": "pallas_fused_score_topk",
+        "device": str(jax.devices()[0]),
+        "protocol": "relay-proof lax.scan chain, (T(N)-T(1))/(N-1), best of 3",
+        "results": rows,
+        "host_tokenize_queries_per_s": round(len(texts) / t_tok, 1),
+    }, indent=2) + "\n")
+    print(f"wrote {out_path}")
     return 0
 
 

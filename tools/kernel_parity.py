@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""On-chip kernel correctness record: Pallas vs XLA equality, committed.
+
+tests/test_kernels.py proves the kernels in interpret mode (CPU CI);
+tools/bench_topk.py asserts on-chip equality but discards the evidence.
+This script runs the Pallas score+top-k and fused embed+pool kernels against
+their XLA reference paths ON THE REAL CHIP across a shape sweep and writes
+KERNEL_PARITY.json for the record (VERDICT r2 item 9).
+
+Run: python tools/kernel_parity.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from twotowers_tpu.kernels.pallas_embed_pool import embed_pool
+from twotowers_tpu.kernels.pallas_topk import score_topk_pallas
+from twotowers_tpu.ops.core import masked_mean_pool
+from twotowers_tpu.ops.topk_score import score_topk_xla
+
+
+def check_topk(rng, n_docs: int, dim: int, q: int, k: int) -> dict:
+    docs = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries = rng.standard_normal((q, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    docs_d = jax.device_put(docs.astype(jnp.bfloat16))
+    queries_d = jax.device_put(queries.astype(jnp.bfloat16))
+
+    xv, xi = jax.jit(lambda d, qq: score_topk_xla(d, qq, k))(docs_d, queries_d)
+    pv, pi = jax.jit(lambda d, qq: score_topk_pallas(d, qq, k))(docs_d, queries_d)
+    return {
+        "kernel": "score_topk", "n_docs": n_docs, "dim": dim, "q": q, "k": k,
+        "index_agreement": float(np.mean(np.asarray(xi) == np.asarray(pi))),
+        "max_value_abs_diff": float(
+            np.max(np.abs(np.asarray(xv, np.float32) - np.asarray(pv, np.float32)))),
+    }
+
+
+def check_embed_pool(rng, vocab: int, dim: int, batch: int, seq: int) -> dict:
+    ids = rng.integers(0, vocab, size=(batch, seq)).astype(np.int32)
+    ids[:, 0] = np.maximum(ids[:, 0], 1)  # no all-PAD rows
+    table = rng.standard_normal((vocab, dim)).astype(np.float32)
+    ids_d, table_d = jax.device_put(ids), jax.device_put(table)
+
+    fused = jax.jit(lambda i, t: embed_pool(i, t))(ids_d, table_d)
+    ref = jax.jit(
+        lambda i, t: masked_mean_pool(jnp.take(t, i, axis=0), i)
+    )(ids_d, table_d)
+
+    # gradients must agree too (custom VJP vs autodiff through gather+pool)
+    g = rng.standard_normal(fused.shape).astype(np.float32)
+    d_fused = jax.jit(jax.grad(
+        lambda t: jnp.sum(embed_pool(ids_d, t) * g)))(table_d)
+    d_ref = jax.jit(jax.grad(
+        lambda t: jnp.sum(masked_mean_pool(jnp.take(t, ids_d, axis=0), ids_d) * g)
+    ))(table_d)
+    return {
+        "kernel": "embed_pool", "vocab": vocab, "dim": dim,
+        "batch": batch, "seq": seq,
+        "fwd_max_abs_diff": float(np.max(np.abs(np.asarray(fused) - np.asarray(ref)))),
+        "grad_max_abs_diff": float(np.max(np.abs(np.asarray(d_fused) - np.asarray(d_ref)))),
+    }
+
+
+def main() -> int:
+    device = jax.devices()[0]
+    if device.platform not in ("tpu", "axon") and "tpu" not in str(device).lower():
+        print(f"warning: not on TPU ({device}); record will say so")
+
+    rng = np.random.default_rng(0)
+    checks = [
+        check_topk(rng, 100_000, 128, 8, 10),
+        check_topk(rng, 1_000_000, 128, 256, 10),
+        check_topk(rng, 262_144, 64, 32, 5),
+        check_embed_pool(rng, 96, 64, 1024, 64),
+        check_embed_pool(rng, 512, 128, 512, 32),
+    ]
+    ok = all(
+        c.get("index_agreement", 1.0) > 0.999
+        and c.get("max_value_abs_diff", 0.0) < 1e-2
+        and c.get("fwd_max_abs_diff", 0.0) < 1e-4
+        and c.get("grad_max_abs_diff", 0.0) < 1e-4
+        for c in checks
+    )
+    record = {"device": str(device), "all_pass": ok, "checks": checks}
+    out = Path(__file__).resolve().parents[1] / "KERNEL_PARITY.json"
+    out.write_text(json.dumps(record, indent=2) + "\n")
+    print(json.dumps(record, indent=2))
+    print(f"wrote {out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

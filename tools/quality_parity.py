@@ -36,14 +36,14 @@ import numpy as np
 
 SEED = 0
 EVAL_QUERIES = 200
-CANDIDATES_PER_QUERY = 20
+CANDIDATES_PER_QUERY = 200  # 1 positive + 199 distractors (50 hard)
+HARD_NEGATIVES = 50         # same-topic, different-keyword distractors
 K_VALUES = [1, 5, 10]
 
-CONFIG = {
+BASE_CONFIG = {
     "device": "cpu",  # reference-side only; ours runs on the visible chip
     "epochs": 3,
     "batch_size": 256,
-    "tokeniser": {"type": "char", "max_len": 64},
     "embedding": {"type": "lookup", "embedding_dim": 64},
     "encoder": {"arch": "mean", "hidden_dim": 128, "tied_weights": True},
     "loss": {"type": "triplet", "margin": 0.2},
@@ -52,15 +52,37 @@ CONFIG = {
     "huggingface": {"push_to_hub": False},
 }
 
+# tokenizer matrix: the reference implements char + word
+# (/root/reference/twotower/tokenisers.py:33-272); bpe is ours-only (the
+# reference advertises subword tokenisation without implementing it).
+TOKENIZER_CONFIGS = {
+    "char": {"type": "char", "max_len": 64},
+    "word": {"type": "word", "max_len": 16},
+    "bpe": {"type": "bpe", "max_len": 24, "num_merges": 800},
+}
+REFERENCE_HAS = {"char", "word"}
+
+
+def config_for(tokenizer: str) -> dict:
+    return dict(BASE_CONFIG, tokeniser=dict(TOKENIZER_CONFIGS[tokenizer]))
+
 
 def build_data(tmp: Path, num_pairs: int):
-    """Seeded train parquet + eval tuples, shared by both frameworks."""
-    from twotowers_tpu.data.factory.synthetic import generate_synthetic_pairs
-    from twotowers_tpu.data.triplets import pairs_to_triplets
+    """Seeded train parquet + a HARD eval set shared by both frameworks.
+
+    Eval difficulty (VERDICT r2: the 20-candidate set was saturated —
+    recall@5 ~ 1.0 for everything): 200 candidates per query, of which 50
+    are same-topic/different-keyword hard negatives and 149 other-topic
+    docs. Random ranking scores MRR ~ 0.03, so 1% quality deltas are
+    visible.
+    """
     import pandas as pd
 
-    train_pairs = generate_synthetic_pairs(num_pairs, negatives_per_query=2,
-                                           seed=SEED)
+    from twotowers_tpu.data.factory import synthetic as syn
+    from twotowers_tpu.data.triplets import pairs_to_triplets
+
+    train_pairs = syn.generate_synthetic_pairs(num_pairs, negatives_per_query=2,
+                                               seed=SEED)
     q, p, n = pairs_to_triplets(train_pairs["query"].tolist(),
                                 train_pairs["document"].tolist(),
                                 train_pairs["label"].tolist())
@@ -68,19 +90,25 @@ def build_data(tmp: Path, num_pairs: int):
     pd.DataFrame({"q_text": q, "d_pos_text": p, "d_neg_text": n}).to_parquet(
         train_path, index=False)
 
-    # held-out eval: fresh queries; distractors drawn from other eval docs
-    eval_pairs = generate_synthetic_pairs(EVAL_QUERIES, negatives_per_query=0,
-                                          seed=SEED + 1)
-    pos = eval_pairs[eval_pairs["label"] == 1].reset_index(drop=True)
-    all_docs = pos["document"].tolist()
     rng = random.Random(SEED + 2)
+    topics = sorted(syn.TOPICS)
     tuples = []
-    for i in range(len(pos)):
-        query, positive = pos.loc[i, "query"], pos.loc[i, "document"]
-        distractors = [all_docs[j] for j in
-                       rng.sample([j for j in range(len(all_docs)) if j != i],
-                                  CANDIDATES_PER_QUERY - 1)]
-        docs = [positive] + distractors
+    for _ in range(EVAL_QUERIES):
+        topic = rng.choice(topics)
+        keyword = rng.choice(syn.TOPICS[topic])
+        query = syn.generate_query(rng, topic, keyword)
+        positive = syn.generate_document(rng, topic, keyword)
+        hard = []
+        other_keywords = [k for k in syn.TOPICS[topic] if k != keyword]
+        for _ in range(HARD_NEGATIVES):
+            hard.append(syn.generate_document(
+                rng, topic, rng.choice(other_keywords)))
+        easy = []
+        for _ in range(CANDIDATES_PER_QUERY - 1 - HARD_NEGATIVES):
+            other_topic = rng.choice([t for t in topics if t != topic])
+            easy.append(syn.generate_document(
+                rng, other_topic, rng.choice(syn.TOPICS[other_topic])))
+        docs = [positive] + hard + easy
         relevance = [1] + [0] * (CANDIDATES_PER_QUERY - 1)
         order = list(range(CANDIDATES_PER_QUERY))
         rng.shuffle(order)  # don't leak the positive's position
@@ -89,7 +117,21 @@ def build_data(tmp: Path, num_pairs: int):
     return train_path, tuples, len(q)
 
 
-def run_reference(train_path: Path, tuples, epochs: int):
+def try_msmarco() -> str:
+    """Attempt the real MS MARCO pull once; return a status string for the
+    record (the network in this image typically refuses — VERDICT r2 item 3
+    asks for a documented attempt either way)."""
+    try:
+        from twotowers_tpu.data.factory.readers import get_ms_marco_dataset
+
+        ds = get_ms_marco_dataset(splits=("validation",))
+        n = len(ds["validation"]) if "validation" in ds else len(ds)
+        return f"ok: loaded validation split with {n} rows"
+    except Exception as exc:
+        return f"unavailable: {type(exc).__name__}: {exc}"
+
+
+def run_reference(train_path: Path, tuples, epochs: int, config: dict):
     """Train + evaluate the reference with its own code (read-only import)."""
     sys.path.insert(0, "/root/reference")
     sys.modules.setdefault("wandb", types.ModuleType("wandb"))
@@ -99,7 +141,7 @@ def run_reference(train_path: Path, tuples, epochs: int):
     from twotower.evaluate import evaluate_model
 
     torch.manual_seed(SEED)
-    cfg = dict(CONFIG, data=str(train_path), epochs=epochs)
+    cfg = dict(config, data=str(train_path), epochs=epochs)
     model, dataset, optimizer, loss_fn = build_pipeline(cfg, "cpu")
     loader = DataLoader(dataset, batch_size=cfg["batch_size"], shuffle=True,
                         generator=torch.Generator().manual_seed(SEED))
@@ -111,7 +153,7 @@ def run_reference(train_path: Path, tuples, epochs: int):
     return results, float(last.get("loss", float("nan")))
 
 
-def run_ours(train_path: Path, tuples, epochs: int, tmp: Path,
+def run_ours(train_path: Path, tuples, epochs: int, tmp: Path, config: dict,
              trained: bool = True):
     """Train + evaluate this framework on the same data and hyperparams."""
     from twotowers_tpu.evaluation import evaluate_model
@@ -120,7 +162,7 @@ def run_ours(train_path: Path, tuples, epochs: int, tmp: Path,
     from twotowers_tpu.train.pipeline import build_pipeline
     from twotowers_tpu.train.step import make_eval_step
 
-    cfg = dict(CONFIG, data=str(train_path), epochs=epochs,
+    cfg = dict(config, data=str(train_path), epochs=epochs,
                checkpoint_dir=str(tmp / "ckpt"), log_dir=str(tmp / "logs"))
     if trained:
         state, pipeline = train_model(cfg, seed=SEED)
@@ -136,62 +178,108 @@ def run_ours(train_path: Path, tuples, epochs: int, tmp: Path,
     return results, loss
 
 
+KEYS = ["mrr"] + [f"{m}@{k}" for m in ("precision", "recall", "ndcg")
+                  for k in K_VALUES]
+
+
+def run_matrix_cell(tokenizer: str, train_path, tuples, epochs, tmp):
+    """One tokenizer's parity cell: ours + untrained control (+ reference
+    when it implements this tokenizer)."""
+    config = config_for(tokenizer)
+    ours, ours_loss = run_ours(train_path, tuples, epochs,
+                               tmp / tokenizer, config)
+    untrained, _ = run_ours(train_path, tuples, epochs, tmp / tokenizer,
+                            config, trained=False)
+    cell = {"ours": ours, "ours_loss": ours_loss, "untrained": untrained}
+    if tokenizer in REFERENCE_HAS:
+        ref, ref_loss = run_reference(train_path, tuples, epochs, config)
+        cell.update(reference=ref, reference_loss=ref_loss)
+    return cell
+
+
+def print_cell(tokenizer: str, cell: dict) -> None:
+    ref = cell.get("reference", {})
+    print(f"\n== {tokenizer} =="
+          + ("" if ref else "  (reference has no such tokenizer)"))
+    print(f"{'metric':<14}{'reference':>12}{'ours':>12}{'untrained':>12}")
+    for key in KEYS:
+        r = f"{ref[key]:>12.4f}" if key in ref else f"{'—':>12}"
+        print(f"{key:<14}{r}{cell['ours'].get(key, float('nan')):>12.4f}"
+              f"{cell['untrained'].get(key, float('nan')):>12.4f}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=1500)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--tokenizers", default="char,word,bpe",
+                    help="comma-separated subset of char,word,bpe")
     ap.add_argument("--write", action="store_true",
                     help="record results into QUALITY.md")
     args = ap.parse_args()
+    tokenizers = [t.strip() for t in args.tokenizers.split(",") if t.strip()]
+
+    msmarco_status = try_msmarco()
+    print(f"MS MARCO pull attempt: {msmarco_status}", flush=True)
 
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         train_path, tuples, n_triplets = build_data(tmp, args.pairs)
         print(f"data: {n_triplets} train triplets, {len(tuples)} eval queries "
-              f"x {CANDIDATES_PER_QUERY} candidates", flush=True)
+              f"x {CANDIDATES_PER_QUERY} candidates "
+              f"({HARD_NEGATIVES} hard intra-topic each)", flush=True)
 
-        ours, ours_loss = run_ours(train_path, tuples, args.epochs, tmp)
-        untrained, _ = run_ours(train_path, tuples, args.epochs, tmp,
-                                trained=False)
-        ref, ref_loss = run_reference(train_path, tuples, args.epochs)
+        cells = {}
+        for tokenizer in tokenizers:
+            cells[tokenizer] = run_matrix_cell(
+                tokenizer, train_path, tuples, args.epochs, tmp)
+            print_cell(tokenizer, cells[tokenizer])
 
-    keys = ["mrr"] + [f"{m}@{k}" for m in ("precision", "recall", "ndcg")
-                      for k in K_VALUES]
-    print(f"\n{'metric':<14}{'reference':>12}{'ours':>12}{'untrained':>12}")
-    for key in keys:
-        print(f"{key:<14}{ref.get(key, float('nan')):>12.4f}"
-              f"{ours.get(key, float('nan')):>12.4f}"
-              f"{untrained.get(key, float('nan')):>12.4f}")
-    print(f"{'final loss':<14}{ref_loss:>12.4f}{ours_loss:>12.4f}")
-
-    record = {"reference": ref, "ours": ours, "untrained": untrained,
-              "pairs": args.pairs, "epochs": args.epochs,
-              "triplets": n_triplets, "eval_queries": len(tuples)}
+    record = {"cells": cells, "pairs": args.pairs, "epochs": args.epochs,
+              "triplets": n_triplets, "eval_queries": len(tuples),
+              "candidates_per_query": CANDIDATES_PER_QUERY,
+              "hard_negatives_per_query": HARD_NEGATIVES,
+              "msmarco_attempt": msmarco_status}
     print(json.dumps(record))
 
     if args.write:
         lines = [
             "# QUALITY — empirical retrieval-quality parity\n",
             "Both frameworks trained on the SAME seeded synthetic triplet",
-            "dataset with the SAME hyperparameters (char tokenizer, embed 64,",
-            "hidden 128, tied towers, triplet margin 0.2, AdamW 1e-3, batch",
-            f"256, {args.epochs} epochs, {n_triplets} triplets), evaluated on",
-            f"the SAME {len(tuples)} held-out queries x"
-            f" {CANDIDATES_PER_QUERY} candidates.",
+            "dataset with the SAME hyperparameters (embed 64, hidden 128,",
+            "tied towers, triplet margin 0.2, AdamW 1e-3, batch 256,",
+            f"{args.epochs} epochs, {n_triplets} triplets), evaluated on the",
+            f"SAME {len(tuples)} held-out queries x {CANDIDATES_PER_QUERY}",
+            f"candidates, {HARD_NEGATIVES} of which are same-topic hard",
+            "negatives (random ranking scores MRR ~ 0.03, so 1% deltas are",
+            "visible — the round-2 20-candidate set was saturated).",
             "Reference = its own PyTorch code at /root/reference (CPU torch —",
             "its only path in this image); ours = twotowers_tpu on the visible",
             "chip. Untrained = our init params (control). Produced by",
             "`python tools/quality_parity.py --write`.\n",
-            "| metric | reference (PyTorch) | ours (JAX/TPU) | untrained |",
-            "|---|---|---|---|",
+            f"**MS MARCO pull attempt** (reference's L1/L3 data path): "
+            f"{msmarco_status}\n",
         ]
-        for key in keys:
-            lines.append(f"| {key} | {ref.get(key, float('nan')):.4f} "
-                         f"| {ours.get(key, float('nan')):.4f} "
-                         f"| {untrained.get(key, float('nan')):.4f} |")
-        lines.append(f"| final train loss | {ref_loss:.4f} "
-                     f"| {ours_loss:.4f} | — |")
-        lines.append("\n```json\n" + json.dumps(record, indent=2) + "\n```")
+        for tokenizer, cell in cells.items():
+            ref = cell.get("reference", {})
+            lines.append(f"## {tokenizer} tokenizer"
+                         + ("" if ref else
+                            " (ours only — the reference does not implement it)"))
+            lines.append("")
+            lines.append("| metric | reference (PyTorch) | ours (JAX/TPU) "
+                         "| untrained |")
+            lines.append("|---|---|---|---|")
+            for key in KEYS:
+                r = f"{ref[key]:.4f}" if key in ref else "—"
+                lines.append(
+                    f"| {key} | {r} | {cell['ours'].get(key, float('nan')):.4f} "
+                    f"| {cell['untrained'].get(key, float('nan')):.4f} |")
+            ref_loss = cell.get("reference_loss")
+            lines.append(f"| final train loss | "
+                         f"{'—' if ref_loss is None else f'{ref_loss:.4f}'} "
+                         f"| {cell['ours_loss']:.4f} | — |")
+            lines.append("")
+        lines.append("```json\n" + json.dumps(record, indent=2) + "\n```")
         (REPO / "QUALITY.md").write_text("\n".join(lines) + "\n")
         print("wrote QUALITY.md")
     return 0

@@ -161,9 +161,23 @@ def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndar
     if not spec.trainable:
         table = jax.lax.stop_gradient(table)
     if spec.trainable and spec.vocab_size <= _ONE_HOT_MAX_VOCAB:
+        # precision: in f32 compute the MXU default would round the table
+        # operand to bf16 (preferred_element_type only widens the
+        # accumulator), silently degrading the lookup and its gradient;
+        # HIGHEST keeps the selection bit-exact vs jnp.take and is still an
+        # MXU matmul. In bf16 compute the operands are already bf16 and
+        # DEFAULT avoids the multi-pass f32 emulation.
+        # Invalid ids: one_hot maps out-of-range/negative ids to an all-zero
+        # row (== the padding embedding), whereas the gather branch clips to
+        # the nearest valid row (jnp.take TPU semantics). Both are silent;
+        # tokenizers guarantee ids in [0, vocab), so neither path is hit in
+        # normal operation.
+        precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                     else jax.lax.Precision.DEFAULT)
         one_hot = jax.nn.one_hot(ids, spec.vocab_size, dtype=dtype)
         out = jnp.einsum("...v,vd->...d", one_hot, table.astype(dtype),
-                         preferred_element_type=jnp.float32).astype(dtype)
+                         preferred_element_type=jnp.float32,
+                         precision=precision).astype(dtype)
     else:
         out = jnp.take(table.astype(dtype), ids, axis=0)
     if "pos" in params:  # 'positional' kind: learned position offsets

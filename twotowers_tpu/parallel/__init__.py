@@ -7,6 +7,7 @@ from .sharding import batch_sharding, pad_batch_to_multiple, param_specs, shard_
 from .train import (
     create_sharded_train_state,
     make_sharded_embed_fn,
+    make_sharded_eval_step,
     make_sharded_train_step,
     shard_batch,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "make_sharded_embed_fn",
+    "make_sharded_eval_step",
     "make_sharded_train_step",
     "mesh_shape",
     "pad_batch_to_multiple",

@@ -110,6 +110,62 @@ def make_sharded_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_sharded_eval_step(
+    spec: TwoTowerSpec,
+    loss_def: LossDef,
+    mesh: Mesh,
+    *,
+    shard_vocab: bool = True,
+    global_negatives: bool = True,
+) -> Callable[..., Dict[str, jnp.ndarray]]:
+    """Build the pjit eval step (no grad, no dropout) for a mesh.
+
+    Mirrors ``make_sharded_train_step``'s encode path — the same row-sharded
+    vocabulary gather and, for pair losses, the same global-negative
+    all_gather — so validation under ``mesh:`` configs uses exactly the loss
+    the train step optimises and works multi-process (the unsharded eval step
+    cannot: it would consume globally-addressed arrays every process must
+    fully own).
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    data_size = mesh.shape[DATA_AXIS]
+    use_sharded_embed = shard_vocab and model_size > 1
+    use_global_negs = (
+        global_negatives and loss_def.arity == "pair" and data_size > 1
+    )
+    embed_fn = make_sharded_embed_fn(mesh) if use_sharded_embed else None
+    temperature = _loss_kwarg(loss_def, "temperature", 0.1)
+
+    def eval_fn(params, queries, positives, negatives, weights):
+        def enc(ids, tower):
+            return encode(params, spec, ids, tower, train=False,
+                          dropout_rng=None, embed_fn=embed_fn)
+
+        q = enc(queries, "query")
+        p = enc(positives, "document")
+        if loss_def.arity == "pair":
+            if use_global_negs:
+                loss, aux = global_in_batch_loss(q, p, weights, mesh, temperature)
+            else:
+                loss, aux = loss_def.fn(q, p, weights)
+        elif loss_def.arity == "multi_neg":
+            b, num_negs, seq = negatives.shape
+            n = enc(negatives.reshape(b * num_negs, seq),
+                    "document").reshape(b, num_negs, -1)
+            loss, aux = loss_def.fn(q, p, n, weights)
+        else:
+            n = enc(negatives, "document")
+            loss, aux = loss_def.fn(q, p, n, weights)
+        return {
+            "loss": loss,
+            "pos_similarity": aux["pos_similarity"],
+            "neg_similarity": aux["neg_similarity"],
+            "similarity_diff": aux["pos_similarity"] - aux["neg_similarity"],
+        }
+
+    return jax.jit(eval_fn)
+
+
 def create_sharded_train_state(
     params: Any,
     optimizer: optax.GradientTransformation,
@@ -131,8 +187,37 @@ def create_sharded_train_state(
     )
 
 
-def shard_batch(mesh: Mesh, *arrays):
-    """Pad leading axes to the data-axis size and place on the mesh."""
+def _place_per_process(padded, sharding) -> jax.Array:
+    """Assemble a global array from per-device shards of the local rows.
+
+    Multi-host contract (SURVEY.md §2.4 per-host data loading): every process
+    iterates the SAME seeded global batch stream, and each process places only
+    the rows its addressable devices own — no process ever device_puts rows
+    for a device it cannot address, which is what makes the plain
+    ``jax.device_put(global, sharding)`` path single-process-only.
+    ``padded`` here is the *global* batch (identical on every process by
+    seeding); the per-device index map selects this process's rows.
+    """
+    global_shape = padded.shape
+    device_arrays = [
+        jax.device_put(padded[idx], device)
+        for device, idx in sharding.addressable_devices_indices_map(
+            global_shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(
+        global_shape, sharding, device_arrays)
+
+
+def shard_batch(mesh: Mesh, *arrays, per_process: Optional[bool] = None):
+    """Pad leading axes to the data-axis size and place on the mesh.
+
+    ``per_process=None`` auto-selects: the single ``device_put`` of the
+    global batch when one process addresses the whole mesh (cheapest), the
+    per-device assembly otherwise (required on multi-host, where each
+    process may only transfer to its local devices).
+    """
+    if per_process is None:
+        per_process = jax.process_count() > 1
     data_size = mesh.shape[DATA_AXIS]
     out = []
     for array in arrays:
@@ -140,5 +225,9 @@ def shard_batch(mesh: Mesh, *arrays):
             out.append(None)
             continue
         padded = pad_batch_to_multiple(array, data_size)
-        out.append(jax.device_put(padded, batch_sharding(mesh, padded.ndim)))
+        sharding = batch_sharding(mesh, padded.ndim)
+        if per_process:
+            out.append(_place_per_process(padded, sharding))
+        else:
+            out.append(jax.device_put(padded, sharding))
     return tuple(out)

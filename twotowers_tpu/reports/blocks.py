@@ -77,19 +77,108 @@ def ir_metrics_block(ir_metrics: Dict[str, float]) -> str:
     return "\n".join(lines)
 
 
+def parallel_coordinates_block(runs: List[Dict[str, Any]],
+                               target: str = "train/epoch_loss") -> str:
+    """Offline analogue of the reference's parallel-coordinates panel
+    (/root/reference/reports/blocks.py:184-199): each run is one line through
+    the varying-config axes ending at the target metric — rendered as a
+    markdown table with one row per run, one column per axis.
+
+    ``runs``: [{"name", "config" (flat dict), "records"}], as built by
+    compare_report.
+    """
+    import json as _json
+
+    all_keys = sorted({k for r in runs for k in r["config"]})
+    axes = [
+        k for k in all_keys
+        if len({_json.dumps(r["config"].get(k), default=str) for r in runs}) > 1
+    ]
+    if not axes:
+        return "### Parallel coordinates\n\n_All run configs identical._"
+    lines = ["### Parallel coordinates", "",
+             "| run | " + " | ".join(axes) + f" | {target} |",
+             "|---" * (len(axes) + 2) + "|"]
+    for r in runs:
+        values = series(r["records"], target)
+        final = f"{values[-1]:.4g}" if values else "—"
+        cells = [str(r["config"].get(k, "—")) for k in axes]
+        lines.append(f"| {r['name']} | " + " | ".join(cells) + f" | {final} |")
+    return "\n".join(lines)
+
+
+def parameter_importance_block(runs: List[Dict[str, Any]],
+                               target: str = "train/epoch_loss") -> str:
+    """Offline analogue of the reference's parameter-importance panel
+    (/root/reference/reports/blocks.py:201-213): rank each varying numeric
+    config key by |Pearson correlation| with the final target metric across
+    runs. Needs >= 3 runs with the metric for a meaningful estimate."""
+    import numpy as np
+
+    points = []
+    for r in runs:
+        values = series(r["records"], target)
+        if values:
+            points.append((r["config"], values[-1]))
+    if len(points) < 3:
+        return ("### Parameter importance\n\n"
+                f"_Needs >= 3 runs with `{target}`; have {len(points)}._")
+
+    targets = np.asarray([t for _, t in points], np.float64)
+    all_keys = sorted({k for cfg, _ in points for k in cfg})
+    rows = []
+    for key in all_keys:
+        vals = [cfg.get(key) for cfg, _ in points]
+        if any(v is None or isinstance(v, (str, bool, dict, list)) for v in vals):
+            continue
+        arr = np.asarray(vals, np.float64)
+        if np.ptp(arr) == 0 or np.ptp(targets) == 0:
+            continue
+        corr = float(np.corrcoef(arr, targets)[0, 1])
+        if np.isfinite(corr):
+            rows.append((key, corr))
+    rows.sort(key=lambda kv: -abs(kv[1]))
+    if not rows:
+        return ("### Parameter importance\n\n"
+                "_No varying numeric config keys to correlate._")
+    lines = ["### Parameter importance", "",
+             f"|correlation| of each varying numeric config key with final "
+             f"`{target}` across {len(points)} runs:", "",
+             "| parameter | correlation |", "|---|---|"]
+    for key, corr in rows:
+        lines.append(f"| {key} | {corr:+.3f} |")
+    return "\n".join(lines)
+
+
 def as_wandb_panels(records: List[Dict[str, Any]]):  # pragma: no cover - needs wandb
-    """The same block structure as wandb_workspaces panel grids, when the
-    optional dependency exists (reference blocks.py produces these)."""
+    """wandb_workspaces panel grid built from a run's REAL metric records:
+    only series actually present get a panel (reference blocks.py:11-181
+    produces the hosted originals)."""
     try:
         import wandb_workspaces.reports.v2 as wr
     except Exception as exc:
         raise RuntimeError(f"wandb_workspaces not installed: {exc}")
-    return [
-        wr.PanelGrid(panels=[
-            wr.LinePlot(x="train/batch", y=["train/batch_loss"]),
-            wr.LinePlot(x="train/batch", y=["train/pos_similarity",
-                                            "train/neg_similarity"]),
-            wr.LinePlot(x="train/batch", y=["performance/samples_per_second"]),
-            wr.LinePlot(x="train/batch", y=["gradients/total_norm"]),
-        ])
+    if not records:
+        raise ValueError(
+            "as_wandb_panels needs the run's metric records; got none "
+            "(load them with report_utils.load_metrics)")
+
+    present = {k for r in records for k in r}
+    groups = [
+        ["train/batch_loss", "train/epoch_loss"],
+        ["train/pos_similarity", "train/neg_similarity", "train/similarity_diff"],
+        ["performance/samples_per_second", "performance/batch_time"],
+        ["gradients/total_norm"],
+        ["val/loss", "val/pos_similarity"],
     ]
+    panels = []
+    for group in groups:
+        ys = [k for k in group if k in present]
+        if ys:
+            x = "train/batch" if "train/batch" in present else "epoch"
+            panels.append(wr.LinePlot(x=x, y=ys))
+    if not panels:
+        raise ValueError(
+            f"records contain none of the known metric series; keys seen: "
+            f"{sorted(present)[:12]}")
+    return [wr.PanelGrid(panels=panels)]

@@ -15,6 +15,7 @@ from typing import Any, Dict, List, Optional
 import yaml
 
 from ..utils.logging import get_logger
+from .blocks import parallel_coordinates_block, parameter_importance_block
 from .report_utils import find_experiment_files, load_metrics, series
 
 logger = get_logger("reports.compare")
@@ -105,6 +106,11 @@ def create_comparison_report(run_dirs: List[str], output: Optional[str] = None) 
         for key in diff_keys:
             cells = [str(r["config"].get(key, "—")) for r in runs]
             lines.append(f"| {key} | " + " | ".join(cells) + " |")
+
+    # cross-run analyses (hosted-panel analogues, reference blocks.py:184-213)
+    if len(runs) >= 2:
+        lines += ["", parallel_coordinates_block(runs),
+                  "", parameter_importance_block(runs)]
 
     report = "\n".join(lines) + "\n"
     out_path = Path(output) if output else Path(run_dirs[0]).parent / "comparison_report.md"

@@ -80,18 +80,31 @@ def create_run_report(run_dir: str, output: Optional[str] = None) -> str:
 
 def create_wandb_report(run_dir: str, project: str,
                         entity: Optional[str] = None) -> str:  # pragma: no cover
-    """Hosted W&B report for a run (requires wandb_workspaces + a run id)."""
+    """Hosted W&B report for a run (requires wandb_workspaces + a run id).
+
+    Panels are built from the run's REAL metric records so only series the
+    run actually logged appear (reference single_report.py:46-338 builds the
+    hosted original from the live wandb run object).
+    """
     try:
         import wandb_workspaces.reports.v2 as wr
     except Exception as exc:
         raise RuntimeError(f"wandb_workspaces not installed: {exc}")
     from .blocks import as_wandb_panels
 
+    files = find_experiment_files(run_dir)
+    if not files["metrics"]:
+        raise ValueError(f"No metrics JSONL under {run_dir}; nothing to report")
+    records = load_metrics(files["metrics"])
+
     run_id = resolve_run_id(run_dir)
+    blocks = [wr.H1("Training dynamics"), *as_wandb_panels(records)]
+    if run_id:
+        blocks.append(wr.MarkdownBlock(text=f"W&B run id: `{run_id}`"))
     report = wr.Report(
         project=project, entity=entity,
         title=f"Two-tower report: {Path(run_dir).name}",
-        blocks=[wr.H1("Training dynamics"), *as_wandb_panels([])],
+        blocks=blocks,
     )
     report.save()
     return report.url

@@ -19,12 +19,12 @@ Run:  python -m twotowers_tpu.serve.app
 from __future__ import annotations
 
 import os
-import time
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 
 from ..utils.logging import get_logger, setup_logging
+from .service import RetrievalService, ServiceError
 from .store import VectorCollection
 
 logger = get_logger("serve.app")
@@ -87,7 +87,8 @@ def create_app():
         )
 
     app = FastAPI(title="two-tower retrieval service")
-    state: Dict[str, Any] = {"model": None, "collection": VectorCollection("documents")}
+    service = RetrievalService(model=None,
+                               collection=VectorCollection("documents"))
 
     class EmbedRequest(BaseModel):
         texts: List[str]
@@ -101,36 +102,28 @@ def create_app():
         ids: Optional[List[str]] = None
         metadatas: Optional[List[Dict[str, Any]]] = None
 
+    def run(handler, *args, **kwargs):
+        try:
+            return handler(*args, **kwargs)
+        except ServiceError as exc:
+            raise HTTPException(exc.status, exc.detail)
+
     @app.on_event("startup")
     def startup() -> None:
-        state["model"] = _load_runtime()
+        service.model = _load_runtime()
 
     @app.get("/health")
     def health():
-        return {
-            "status": "ok" if state["model"] else "degraded",
-            "model_loaded": state["model"] is not None,
-            "documents": state["collection"].count(),
-        }
+        return service.health()
 
     @app.post("/embed")
     def embed(request: EmbedRequest):
-        if state["model"] is None:
-            raise HTTPException(503, "model not loaded")
-        vectors = state["model"].encode(request.texts, "query")
-        return {"embeddings": vectors.tolist()}
+        return run(service.embed, request.texts)
 
     @app.post("/add")
     def add(request: AddRequest):
-        if state["model"] is None:
-            raise HTTPException(503, "model not loaded")
-        ids = request.ids or [
-            f"doc_{int(time.time()*1000)}_{i}" for i in range(len(request.documents))
-        ]
-        vectors = state["model"].encode(request.documents, "document")
-        added = state["collection"].add(ids, vectors, request.documents,
-                                        request.metadatas)
-        return {"added": added, "total": state["collection"].count()}
+        return run(service.add, request.documents, request.ids,
+                   request.metadatas)
 
     @app.get("/")
     def root():
@@ -143,20 +136,7 @@ def create_app():
 
     @app.post("/search")
     def search(request: SearchRequest):
-        if state["model"] is None:
-            raise HTTPException(503, "model not loaded")
-        query_vec = state["model"].encode([request.query], "query")
-        result = state["collection"].query(query_vec, n_results=request.top_k)
-        return {
-            "query": request.query,
-            "results": [
-                {"id": i, "document": d, "distance": dist, "metadata": m}
-                for i, d, dist, m in zip(
-                    result["ids"][0], result["documents"][0],
-                    result["distances"][0], result["metadatas"][0],
-                )
-            ],
-        }
+        return run(service.search, request.query, request.top_k)
 
     return app
 

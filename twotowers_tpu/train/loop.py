@@ -137,17 +137,26 @@ def train_epoch(
 
 def evaluate(
     eval_step, params, pipeline: Pipeline, batch_size: int,
-    dataset=None,
+    dataset=None, batch_placer=None,
 ) -> Dict[str, float]:
-    """Validation pass: weighted-mean loss + similarity stats (no grad)."""
+    """Validation pass: weighted-mean loss + similarity stats (no grad).
+
+    ``batch_placer`` routes batches onto a mesh exactly as in training, so
+    under ``mesh:`` configs validation runs the sharded eval step on sharded
+    batches (required for multi-process; see parallel.make_sharded_eval_step).
+    """
     dataset = dataset or pipeline.dataset
     arity = pipeline.loss_def.arity
     totals = {"loss": 0.0, "pos_similarity": 0.0, "neg_similarity": 0.0,
               "similarity_diff": 0.0}
     count = 0
-    for batch in prefetch_to_device(
-        iterate_batches(dataset.arrays(), batch_size, shuffle=False)
-    ):
+    if batch_placer is None:
+        batch_iter = prefetch_to_device(
+            iterate_batches(dataset.arrays(), batch_size, shuffle=False))
+    else:
+        batch_iter = (batch_placer(b) for b in iterate_batches(
+            dataset.arrays(), batch_size, shuffle=False))
+    for batch in batch_iter:
         metrics = eval_step(
             params, batch.queries, batch.positives,
             _negatives_for_arity(batch, arity), batch.weights,
@@ -219,7 +228,16 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
             config["val_data"], pipeline.tokenizer,
             max_length=pipeline.max_length,
         )
-        eval_step = make_eval_step(pipeline.spec, pipeline.loss_def)
+        if mesh_cfg:
+            from ..parallel import make_sharded_eval_step
+
+            eval_step = make_sharded_eval_step(
+                pipeline.spec, pipeline.loss_def, mesh,
+                shard_vocab=bool(mesh_cfg.get("shard_vocab", True)),
+                global_negatives=bool(mesh_cfg.get("global_negatives", True)),
+            )
+        else:
+            eval_step = make_eval_step(pipeline.spec, pipeline.loss_def)
 
     # optional jax.profiler trace of the first epoch's steps
     # (`profile: {trace_dir: ..., }` — SURVEY.md §5 tracing parity, TPU-native)
@@ -262,7 +280,8 @@ def train_model(config: Dict[str, Any], *, seed: int = 0) -> Tuple[TrainState, P
                 logger.info("Wrote profiler trace to %s", profile_dir)
             if val_dataset is not None:
                 val_metrics = evaluate(eval_step, state.params, pipeline,
-                                       batch_size, dataset=val_dataset)
+                                       batch_size, dataset=val_dataset,
+                                       batch_placer=batch_placer)
                 metric_logger.log({
                     "epoch": epoch,
                     **{f"val/{k}": v for k, v in val_metrics.items()},
