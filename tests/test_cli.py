@@ -84,7 +84,7 @@ class TestBenchScript:
         import bench
 
         assert bench.REFERENCE_PAIRS_PER_SEC > 0
-        assert bench.BATCH >= 256
+        assert bench.CHAIN >= 2 and bench.TRIALS >= 1 and bench.POOL >= 2
 
     def test_graft_entry_importable(self):
         import __graft_entry__ as graft

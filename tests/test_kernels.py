@@ -134,3 +134,82 @@ class TestTopKKernel:
         from twotowers_tpu.ops.topk_score import _pallas_impl
 
         assert _pallas_impl is not None
+
+
+class TestScatterAddKernel:
+    """kernels/pallas_scatter_add.py — embedding-gradient scatter (interpret)."""
+
+    def _want(self, g, ids, vocab):
+        return np.asarray(
+            jnp.zeros((vocab, g.shape[-1]), jnp.float32)
+            .at[jnp.asarray(ids)].add(jnp.asarray(g, jnp.float32)))
+
+    @pytest.mark.parametrize("vocab,dim,n", [
+        (640, 64, 4096),      # single block, native half-lane rows
+        (640, 64, 5000),      # n not a tile multiple -> padded ids/g
+        (130, 32, 4096),      # dim pads up to a full lane
+        (1024, 128, 4096),    # full-lane rows
+    ])
+    def test_matches_xla_scatter(self, np_rng, vocab, dim, n):
+        from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
+
+        ids = np_rng.integers(0, vocab, size=(n,)).astype(np.int32)
+        g = np_rng.normal(size=(n, dim)).astype(np.float32)
+        got = scatter_add_rows(jnp.asarray(g), jnp.asarray(ids), vocab,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), self._want(g, ids, vocab),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bf16_cotangents(self, np_rng):
+        from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
+
+        ids = np_rng.integers(0, 640, size=(4096,)).astype(np.int32)
+        g = np_rng.normal(size=(4096, 64)).astype(np.float32)
+        g_bf16 = jnp.asarray(g).astype(jnp.bfloat16)
+        got = scatter_add_rows(g_bf16, jnp.asarray(ids), 640, interpret=True)
+        want = self._want(np.asarray(g_bf16, np.float32), ids, 640)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    def test_multi_block_path(self, np_rng, monkeypatch):
+        """Tables above the VMEM budget split into vocab blocks."""
+        from twotowers_tpu.kernels import pallas_scatter_add as mod
+
+        monkeypatch.setattr(mod, "VMEM_ACC_BUDGET", 256 * 64 * 4)
+        ids = np_rng.integers(0, 700, size=(8192,)).astype(np.int32)
+        g = np_rng.normal(size=(8192, 64)).astype(np.float32)
+        got = mod.scatter_add_rows(jnp.asarray(g), jnp.asarray(ids), 700,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), self._want(g, ids, 700),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_duplicate_heavy_ids(self, np_rng):
+        """Zipf-like collisions inside unroll groups must still accumulate."""
+        from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
+
+        ids = np.minimum(
+            np_rng.geometric(0.3, size=(4096,)) - 1, 639).astype(np.int32)
+        g = np_rng.normal(size=(4096, 64)).astype(np.float32)
+        got = scatter_add_rows(jnp.asarray(g), jnp.asarray(ids), 640,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), self._want(g, ids, 640),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_custom_vjp_grad_matches_take(self, np_rng):
+        """The embed_ids fast-grad lookup == plain take in value and grad."""
+        from twotowers_tpu.kernels import pallas_scatter_add as mod
+        from twotowers_tpu.kernels.pallas_scatter_add import _take_scatter_grad
+
+        ids = jnp.asarray(np_rng.integers(0, 640, size=(16, 12)), jnp.int32)
+        table = jnp.asarray(np_rng.normal(size=(640, 64)), jnp.float32)
+
+        def loss_fast(tab):
+            return jnp.sum(jnp.sin(_take_scatter_grad(tab, ids, jnp.float32)))
+
+        def loss_take(tab):
+            return jnp.sum(jnp.sin(jnp.take(tab, ids, axis=0)))
+
+        v1, g1 = jax.value_and_grad(loss_fast)(table)
+        v2, g2 = jax.value_and_grad(loss_take)(table)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)

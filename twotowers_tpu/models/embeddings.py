@@ -160,7 +160,11 @@ def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndar
     table = params["table"]
     if not spec.trainable:
         table = jax.lax.stop_gradient(table)
-    if spec.trainable and spec.vocab_size <= _ONE_HOT_MAX_VOCAB:
+    # The one-hot MXU path pays off regardless of trainability: the XLA
+    # row-gather costs ~7 ms at the flagship batch where the matmul form is
+    # sub-ms (VOCAB_SCALING.json frozen rows), and frozen tables simply never
+    # invoke the backward. stop_gradient above already severs the grad.
+    if spec.vocab_size <= _ONE_HOT_MAX_VOCAB:
         # precision: in f32 compute the MXU default would round the table
         # operand to bf16 (preferred_element_type only widens the
         # accumulator), silently degrading the lookup and its gradient;
@@ -179,7 +183,13 @@ def embed_ids(params: Dict[str, jnp.ndarray], spec: EmbeddingSpec, ids: jnp.ndar
                          preferred_element_type=jnp.float32,
                          precision=precision).astype(dtype)
     else:
-        out = jnp.take(table.astype(dtype), ids, axis=0)
+        # Word-scale vocabularies: XLA gather forward; the backward routes
+        # through the Pallas VMEM scatter-add where it wins (52 ms -> 17 ms
+        # at the flagship batch, VOCAB_SCALING.json / BASELINE.md), falling
+        # back to plain take off-TPU and for oversized single-chip tables.
+        from ..kernels.pallas_scatter_add import take_fast_grad
+
+        out = take_fast_grad(table, ids, dtype)
     if "pos" in params:  # 'positional' kind: learned position offsets
         pos = params["pos"]
         if not spec.trainable:

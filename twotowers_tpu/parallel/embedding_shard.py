@@ -49,14 +49,24 @@ def pad_table_for_sharding(table: jnp.ndarray, num_shards: int) -> jnp.ndarray:
 
 def _local_gather(local_table: jnp.ndarray, ids: jnp.ndarray,
                   axis_name: str) -> jnp.ndarray:
-    """Per-shard body: gather owned rows, zero the rest, reduce across shards."""
+    """Per-shard body: gather owned rows, zero the rest, reduce across shards.
+
+    The gather's transpose routes through the Pallas VMEM scatter-add
+    (kernels/pallas_scatter_add.py) when the per-shard accumulator fits —
+    sharding a large vocabulary is exactly what shrinks each shard back into
+    the fast single-block regime (BASELINE.md vocab-scaling table). Unowned
+    ids clamp into range and their cotangents are zeroed by the mask's
+    transpose, so they scatter nothing.
+    """
+    from ..kernels.pallas_scatter_add import take_fast_grad
+
     rows = local_table.shape[0]
     shard = jax.lax.axis_index(axis_name)
     offset = shard * rows
     local_ids = ids - offset
     owned = (local_ids >= 0) & (local_ids < rows)
     clamped = jnp.clip(local_ids, 0, rows - 1)
-    gathered = jnp.take(local_table, clamped, axis=0)
+    gathered = take_fast_grad(local_table, clamped)
     gathered = jnp.where(owned[..., None], gathered, 0.0)
     return jax.lax.psum(gathered, axis_name)
 
