@@ -226,6 +226,50 @@ def _bench_transformer_tower():
     }
 
 
+def _bench_word_vocab_tower():
+    """Mean tower at a 32k word vocabulary — the trainable-embedding shape
+    whose backward is the Pallas scatter-add kernel (VOCAB_SCALING.json).
+    No MFU line: this shape is bound by the row-RMW scatter, not matmuls."""
+    import jax
+    import jax.numpy as jnp
+
+    from twotowers_tpu.models import (
+        EmbeddingSpec, TowerSpec, TwoTowerSpec, build_loss, init_two_tower)
+    from twotowers_tpu.train import (
+        build_optimizer, create_train_state, make_train_step)
+
+    vocab, seq, batch, emb, hid = 32768, 64, 16384, 64, 128
+    spec = TwoTowerSpec(
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab, embedding_dim=emb),
+        tower=TowerSpec(arch="mean", embedding_dim=emb, hidden_dim=hid),
+        tied_weights=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = init_two_tower(jax.random.PRNGKey(0), spec)
+    loss_def = build_loss("triplet", margin=0.2)
+    optimizer = build_optimizer({"optimizer": {"type": "adamw", "lr": 1e-3}})
+    step = make_train_step(spec, loss_def, optimizer)
+
+    rng = np.random.default_rng(0)
+    ranks = np.arange(1, vocab)
+    zipf_w = 1.0 / np.power(ranks, 1.07)
+    zipf_w /= zipf_w.sum()
+    q, p, n = (
+        jax.device_put(rng.choice(ranks, size=(POOL, batch, seq),
+                                  p=zipf_w).astype(np.int32))
+        for _ in range(3)
+    )
+    weights = jax.device_put(np.ones(batch, np.float32))
+
+    per_step = _measure_train(
+        step, lambda: create_train_state(params, optimizer), q, p, n, weights)
+    return {
+        "shape": f"vocab{vocab}_seq{seq}_emb{emb}_hid{hid}_b{batch}",
+        "pairs_per_sec": round(batch / per_step, 1),
+        "step_time_ms": round(per_step * 1e3, 3),
+    }
+
+
 def _bench_index_qps(n_docs: int = 1_000_000, dim: int = 128, k: int = 10,
                      q_batch: int = 256):
     """End-to-end encode + Pallas fused score+top-k at 1M docs (north star)."""
@@ -307,6 +351,7 @@ def main() -> int:
     _note(f"char tower done: {char['pairs_per_sec']:,.0f} pairs/s")
     extra = {}
     for name, fn in (("transformer_tower_train", _bench_transformer_tower),
+                     ("word_vocab_32k_train", _bench_word_vocab_tower),
                      ("index_search_1m_docs", _bench_index_qps)):
         _note(f"{name}...")
         try:

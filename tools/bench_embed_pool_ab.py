@@ -93,6 +93,12 @@ def main() -> int:
     def pool_fused(ids, tab):
         return embed_pool(ids, tab)
 
+    def pool_take_fast(ids, tab):
+        from twotowers_tpu.kernels.pallas_scatter_add import take_fast_grad
+
+        emb = take_fast_grad(tab, ids, jnp.bfloat16)
+        return masked_mean_pool(emb, ids).astype(jnp.float32)
+
     rows = []
     for vocab in (512, 2048, 8192):
         ids = jax.device_put(zipf_ids(rng, vocab, (batch, seq)))
@@ -101,7 +107,8 @@ def main() -> int:
         row = {"vocab": vocab}
         for name, fn in (("gather_pool", pool_gather),
                          ("one_hot", pool_onehot),
-                         ("fused_pallas", pool_fused)):
+                         ("fused_pallas", pool_fused),
+                         ("take_scatter_kernel", pool_take_fast)):
             if name == "fused_pallas" and not embed_pool_fits_vmem(vocab, dim):
                 row[name] = None
                 continue

@@ -72,6 +72,29 @@ def check_embed_pool(rng, vocab: int, dim: int, batch: int, seq: int) -> dict:
     }
 
 
+def check_scatter_add(rng, vocab: int, dim: int, n: int) -> dict:
+    """Embedding-gradient scatter kernel vs XLA .at[].add under zipf ids
+    (guarantees in-unroll-group duplicates, the aliasing-order hazard)."""
+    from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
+
+    ranks = np.arange(1, vocab)
+    w = 1.0 / np.power(ranks, 1.07)
+    ids = rng.choice(ranks, size=n, p=w / w.sum()).astype(np.int32)
+    g = rng.standard_normal((n, dim)).astype(np.float32)
+    ids_d, g_d = jax.device_put(ids), jax.device_put(g)
+
+    got = jax.jit(lambda gg, ii: scatter_add_rows(gg, ii, vocab))(g_d, ids_d)
+    want = jax.jit(
+        lambda gg, ii: jnp.zeros((vocab, dim), jnp.float32).at[ii].add(gg)
+    )(g_d, ids_d)
+    d = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    scale = max(float(np.max(np.abs(np.asarray(want)))), 1e-9)
+    return {
+        "kernel": "scatter_add_rows", "vocab": vocab, "dim": dim, "n": n,
+        "grad_max_rel_diff": float(d / scale),
+    }
+
+
 def main() -> int:
     device = jax.devices()[0]
     if device.platform not in ("tpu", "axon") and "tpu" not in str(device).lower():
@@ -84,12 +107,15 @@ def main() -> int:
         check_topk(rng, 262_144, 64, 32, 5),
         check_embed_pool(rng, 96, 64, 1024, 64),
         check_embed_pool(rng, 512, 128, 512, 32),
+        check_scatter_add(rng, 32768, 64, 1_048_576),
+        check_scatter_add(rng, 2048, 128, 262_144),
     ]
     ok = all(
         c.get("index_agreement", 1.0) > 0.999
         and c.get("max_value_abs_diff", 0.0) < 1e-2
         and c.get("fwd_max_abs_diff", 0.0) < 1e-4
         and c.get("grad_max_abs_diff", 0.0) < 1e-4
+        and c.get("grad_max_rel_diff", 0.0) < 1e-4
         for c in checks
     )
     record = {"device": str(device), "all_pass": ok, "checks": checks}

@@ -71,10 +71,16 @@ def _kernel(ids_t_ref, table_ref, out_ref, *, seq_len: int, vocab_padded: int):
     n_tokens = jnp.sum(counts_t, axis=0, keepdims=True)  # (1, TILE_B)
     counts_t = counts_t / (n_tokens + POOL_EPS)
 
+    # HIGHEST: the MXU default rounds f32 operands to bf16
+    # (preferred_element_type only widens the accumulator), which would put
+    # ~1e-3 of noise into what is semantically an exact row-selection (the
+    # same decision as the one-hot path, models/embeddings.py). This kernel
+    # serves small vocabularies, so the multi-pass f32 emulation is cheap.
     out_ref[:] = jax.lax.dot_general(
         counts_t, table_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),  # contract over V
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TILE_B, D)
 
 
@@ -120,9 +126,17 @@ def _embed_pool_fwd_impl(
 
 
 def _counts_host(ids: jnp.ndarray, vocab: int) -> jnp.ndarray:
-    """(B, V) histogram excluding PAD — XLA-side helper for the backward."""
-    one_hot = jax.nn.one_hot(ids, vocab, dtype=jnp.float32)  # (B, L, V)
-    counts = jnp.sum(one_hot, axis=1)
+    """(B, V) histogram excluding PAD — XLA-side helper for the backward.
+
+    Accumulated one token column at a time: materialising the full
+    (B, L, V) one-hot is O(B·L·V) bytes — 34 GB at the flagship batch with
+    an 8k vocab — where the scan peak is the (B, V) accumulator itself."""
+
+    def step(counts, col):
+        return counts + jax.nn.one_hot(col, vocab, dtype=jnp.float32), None
+
+    counts, _ = jax.lax.scan(
+        step, jnp.zeros((ids.shape[0], vocab), jnp.float32), ids.T)
     return counts.at[:, 0].set(0.0)
 
 
@@ -144,7 +158,8 @@ def _embed_pool_bwd(tile_b, interpret, residuals, g):
     n_tokens = jnp.sum(counts, axis=1, keepdims=True)      # (B, 1)
     scaled_g = g / (n_tokens + POOL_EPS)                   # (B, D)
     d_table = jnp.dot(counts.T, scaled_g,
-                      preferred_element_type=jnp.float32)  # (V, D) one matmul
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (V, D) one matmul
     return None, d_table
 
 
