@@ -149,6 +149,8 @@ class TestScatterAddKernel:
         (640, 64, 5000),      # n not a tile multiple -> padded ids/g
         (130, 32, 4096),      # dim pads up to a full lane
         (1024, 128, 4096),    # full-lane rows
+        (30522 % 997, 64, 4096),  # vocab 622 not 8-aligned -> block rounds up
+        (30522, 64, 4096),    # BERT-style non-8-aligned vocab, single block
     ])
     def test_matches_xla_scatter(self, np_rng, vocab, dim, n):
         from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
@@ -193,6 +195,36 @@ class TestScatterAddKernel:
                                interpret=True)
         np.testing.assert_allclose(np.asarray(got), self._want(g, ids, 640),
                                    rtol=1e-4, atol=1e-4)
+
+    def test_rejects_bad_tile_n(self, np_rng):
+        """tile_n not divisible by UNROLL would silently drop tail rows."""
+        from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_rows
+
+        ids = jnp.zeros((16,), jnp.int32)
+        g = jnp.zeros((16, 64), jnp.float32)
+        with pytest.raises(ValueError, match="multiple of 8"):
+            scatter_add_rows(g, ids, 64, tile_n=12, interpret=True)
+        with pytest.raises(ValueError, match="positive"):
+            scatter_add_rows(g, ids, 64, tile_n=0, interpret=True)
+
+    def test_bf16_table_grad_dtype(self, np_rng):
+        """A bf16 param table must receive a bf16 cotangent (custom_vjp
+        enforces cotangent dtype == primal dtype)."""
+        from twotowers_tpu.kernels.pallas_scatter_add import _take_scatter_grad
+
+        ids = jnp.asarray(np_rng.integers(0, 640, size=(16, 12)), jnp.int32)
+        table = jnp.asarray(
+            np_rng.normal(size=(640, 64)), jnp.float32).astype(jnp.bfloat16)
+        g = jax.grad(
+            lambda tab: jnp.sum(_take_scatter_grad(tab, ids, jnp.bfloat16)
+                                .astype(jnp.float32)))(table)
+        assert g.dtype == jnp.bfloat16
+        want = jax.grad(
+            lambda tab: jnp.sum(jnp.take(tab, ids, axis=0)
+                                .astype(jnp.float32)))(table)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-2, atol=1e-2)
 
     def test_custom_vjp_grad_matches_take(self, np_rng):
         """The embed_ids fast-grad lookup == plain take in value and grad."""

@@ -109,6 +109,13 @@ def main() -> int:
         check_embed_pool(rng, 512, 128, 512, 32),
         check_scatter_add(rng, 32768, 64, 1_048_576),
         check_scatter_add(rng, 2048, 128, 262_144),
+        # non-8-aligned vocab (BERT-style 30522): block_rows rounds up to a
+        # sublane-aligned VMEM block, result sliced back
+        check_scatter_add(rng, 30522, 64, 262_144),
+        # vocab big enough that vocab*dim_padded*4 > VMEM_ACC_BUDGET: covers
+        # the multi-block fallback (pl.when-predicated RMW, accumulator
+        # revisiting across the outer grid dim) on real hardware
+        check_scatter_add(rng, 49152, 128, 262_144),
     ]
     ok = all(
         c.get("index_agreement", 1.0) > 0.999

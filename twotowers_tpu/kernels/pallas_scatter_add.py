@@ -95,6 +95,11 @@ def scatter_add_rows(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_n <= 0 or tile_n % UNROLL:
+        raise ValueError(
+            f"tile_n must be a positive multiple of {UNROLL}, got {tile_n}: "
+            "the RMW loop runs tile_n // UNROLL unrolled groups and would "
+            "silently skip tail rows otherwise")
     # Sub-32-bit rows pack multiple rows per sublane, which bans the dynamic
     # single-row loads the RMW loop needs ("index in dimension 0 must be a
     # multiple of 8"); widen on the XLA side — the extra streamed bytes are
@@ -119,7 +124,11 @@ def scatter_add_rows(
             [g, jnp.zeros((n_pad, dim_padded - dim), g.dtype)], axis=1)
 
     row_bytes = dim_padded * 4
-    block_rows = min(vocab, max(8, (VMEM_ACC_BUDGET // row_bytes) // 8 * 8))
+    # Sublane-align the accumulator block (vocab 30522 etc. would otherwise
+    # hand Mosaic an unaligned VMEM output block); the result is sliced back
+    # to [:vocab] below, and padding rows are never addressed.
+    block_rows = min(_round_up(vocab, 8),
+                     max(8, (VMEM_ACC_BUDGET // row_bytes) // 8 * 8))
     n_blocks = -(-vocab // block_rows)
     vocab_padded = n_blocks * block_rows
 
@@ -176,16 +185,21 @@ def _take_scatter_grad(table: jnp.ndarray, ids: jnp.ndarray,
 
 
 def _take_fwd(table, ids, dtype):
-    return _take_scatter_grad(table, ids, dtype), (ids, table.shape[0])
+    # the table's dtype rides along as a zero-size array (residuals must be
+    # JAX types): custom_vjp requires the cotangent dtype to match the
+    # primal's, so a bf16 table needs its f32-accumulated gradient cast back.
+    return (_take_scatter_grad(table, ids, dtype),
+            (ids, table.shape[0], jnp.zeros((0,), table.dtype)))
 
 
 def _take_bwd(dtype, residuals, g):
     import numpy as np
 
-    ids, vocab = residuals
+    ids, vocab, dtype_token = residuals
     d_table = scatter_add_rows(
         g.reshape(-1, g.shape[-1]), ids.reshape(-1), vocab)
-    return d_table, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return (d_table.astype(dtype_token.dtype),
+            np.zeros(ids.shape, dtype=jax.dtypes.float0))
 
 
 _take_scatter_grad.defvjp(_take_fwd, _take_bwd)
