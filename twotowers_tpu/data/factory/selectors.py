@@ -56,7 +56,10 @@ def classic_positives(df: pd.DataFrame) -> Iterator[Context]:
         passages = row["passages"]
         selected = list(passages["is_selected"])
         texts = list(passages["passage_text"])
-        answers = list(row.get("answers") or [])
+        # answers may be a list (in-memory) or a numpy array (parquet round-
+        # trip); an array is not truth-testable, so check None explicitly
+        raw_answers = row.get("answers")
+        answers = [] if raw_answers is None else list(raw_answers)
         for is_sel, text in zip(selected, texts):
             if int(is_sel) == 1:
                 yield {
