@@ -177,8 +177,29 @@ def create_sharded_train_state(
     """Place params on the mesh and init optimizer state with matching
     shardings (optax init is zeros/ones-like, so GSPMD propagates the param
     shardings through a jitted init)."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
     params = shard_params(params, mesh, shard_vocab)
     opt_state = jax.jit(optimizer.init)(params)
+
+    # jit constant-folds input-independent leaves (optax's step `count`) and
+    # commits them to the process-local default device as host-local arrays.
+    # Multi-host that is poison: orbax refuses to serialize them and a
+    # restored state fails the sharded step with "incompatible devices"
+    # (caught by tools/multiprocess_smoke.py). Rebuild any leaf that does not
+    # span the mesh as a fully-replicated global array.
+    mesh_devices = set(mesh.devices.flat)
+
+    def globalize(leaf):
+        if (not isinstance(leaf, jax.Array)
+                or set(leaf.sharding.device_set) == mesh_devices):
+            return leaf
+        value = np.asarray(leaf)  # host-local; identical on every process
+        return jax.make_array_from_callback(
+            leaf.shape, NamedSharding(mesh, P()), lambda idx: value[idx])
+
+    opt_state = jax.tree_util.tree_map(globalize, opt_state)
     return TrainState(
         params=params,
         opt_state=opt_state,

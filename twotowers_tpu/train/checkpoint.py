@@ -103,7 +103,20 @@ def load_checkpoint(
     """
     path = Path(checkpoint_path).resolve()
     ckptr = _checkpointer()
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template_tree)
+
+    def abstract_leaf(x):
+        # orbax's to_shape_dtype_struct turns 0-d arrays into plain scalars,
+        # dropping their sharding; a multi-process restore then lands e.g.
+        # opt_state.count on ONE local device instead of replicated over the
+        # mesh, and the next sharded train step fails with "incompatible
+        # devices" (caught by tools/multiprocess_smoke.py). Keep the
+        # template's sharding on every jax.Array leaf explicitly.
+        if isinstance(x, jax.Array) and not jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return ocp.utils.to_shape_dtype_struct(x)
+
+    abstract = jax.tree_util.tree_map(abstract_leaf, template_tree)
     state = ckptr.restore(path / "state", abstract)
     return state, load_metadata(path)
 
