@@ -46,7 +46,6 @@ BASE_CONFIG = {
     "batch_size": 256,
     "embedding": {"type": "lookup", "embedding_dim": 64},
     "encoder": {"arch": "mean", "hidden_dim": 128, "tied_weights": True},
-    "loss": {"type": "triplet", "margin": 0.2},
     "optimizer": {"type": "adamw", "lr": 1e-3},
     "use_wandb": False,
     "huggingface": {"push_to_hub": False},
@@ -62,9 +61,21 @@ TOKENIZER_CONFIGS = {
 }
 REFERENCE_HAS = {"char", "word"}
 
+# loss matrix: the reference registers all three but its trainer always calls
+# loss_fn(q, d_pos, d_neg) with 3 positional args (/root/reference/twotower/
+# train.py:133), so only `triplet` is runnable from its training loop —
+# in_batch / multiple_negatives cells are ours-only by construction.
+LOSS_CONFIGS = {
+    "triplet": {"type": "triplet", "margin": 0.2},
+    "in_batch": {"type": "in_batch", "temperature": 0.1},
+    "multiple_negatives": {"type": "multiple_negatives", "temperature": 0.1},
+}
+REFERENCE_TRAINABLE_LOSSES = {"triplet"}
 
-def config_for(tokenizer: str) -> dict:
-    return dict(BASE_CONFIG, tokeniser=dict(TOKENIZER_CONFIGS[tokenizer]))
+
+def config_for(tokenizer: str, loss: str = "triplet") -> dict:
+    return dict(BASE_CONFIG, tokeniser=dict(TOKENIZER_CONFIGS[tokenizer]),
+                loss=dict(LOSS_CONFIGS[loss]))
 
 
 def build_data(tmp: Path, num_pairs: int):
@@ -182,25 +193,27 @@ KEYS = ["mrr"] + [f"{m}@{k}" for m in ("precision", "recall", "ndcg")
                   for k in K_VALUES]
 
 
-def run_matrix_cell(tokenizer: str, train_path, tuples, epochs, tmp):
-    """One tokenizer's parity cell: ours + untrained control (+ reference
-    when it implements this tokenizer)."""
-    config = config_for(tokenizer)
+def run_matrix_cell(tokenizer: str, loss: str, train_path, tuples, epochs,
+                    tmp):
+    """One (tokenizer, loss) parity cell: ours + untrained control
+    (+ reference when its code can actually train this combination)."""
+    config = config_for(tokenizer, loss)
     ours, ours_loss = run_ours(train_path, tuples, epochs,
-                               tmp / tokenizer, config)
-    untrained, _ = run_ours(train_path, tuples, epochs, tmp / tokenizer,
-                            config, trained=False)
+                               tmp / f"{tokenizer}_{loss}", config)
+    untrained, _ = run_ours(train_path, tuples, epochs,
+                            tmp / f"{tokenizer}_{loss}", config,
+                            trained=False)
     cell = {"ours": ours, "ours_loss": ours_loss, "untrained": untrained}
-    if tokenizer in REFERENCE_HAS:
+    if tokenizer in REFERENCE_HAS and loss in REFERENCE_TRAINABLE_LOSSES:
         ref, ref_loss = run_reference(train_path, tuples, epochs, config)
         cell.update(reference=ref, reference_loss=ref_loss)
     return cell
 
 
-def print_cell(tokenizer: str, cell: dict) -> None:
+def print_cell(name: str, cell: dict) -> None:
     ref = cell.get("reference", {})
-    print(f"\n== {tokenizer} =="
-          + ("" if ref else "  (reference has no such tokenizer)"))
+    print(f"\n== {name} =="
+          + ("" if ref else "  (reference cannot train this cell)"))
     print(f"{'metric':<14}{'reference':>12}{'ours':>12}{'untrained':>12}")
     for key in KEYS:
         r = f"{ref[key]:>12.4f}" if key in ref else f"{'—':>12}"

@@ -150,10 +150,11 @@ def parameter_importance_block(runs: List[Dict[str, Any]],
     return "\n".join(lines)
 
 
-def as_wandb_panels(records: List[Dict[str, Any]]):  # pragma: no cover - needs wandb
+def as_wandb_panels(records: List[Dict[str, Any]]):
     """wandb_workspaces panel grid built from a run's REAL metric records:
     only series actually present get a panel (reference blocks.py:11-181
-    produces the hosted originals)."""
+    produces the hosted originals). Tested against a stubbed
+    wandb_workspaces module (tests/test_serve_reports.py)."""
     try:
         import wandb_workspaces.reports.v2 as wr
     except Exception as exc:

@@ -79,7 +79,7 @@ def create_run_report(run_dir: str, output: Optional[str] = None) -> str:
 
 
 def create_wandb_report(run_dir: str, project: str,
-                        entity: Optional[str] = None) -> str:  # pragma: no cover
+                        entity: Optional[str] = None) -> str:
     """Hosted W&B report for a run (requires wandb_workspaces + a run id).
 
     Panels are built from the run's REAL metric records so only series the

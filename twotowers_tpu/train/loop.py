@@ -66,6 +66,12 @@ def train_epoch(
     total_loss = 0.0
     sample_count = 0
     batch_times = []
+    # Metric-semantics delta vs the reference (docs/training.md "Metric
+    # semantics"): performance/batch_time here is host wall-clock from batch
+    # assembly to the NEXT step's dispatch (the device readback is drained one
+    # step late so the device never idles waiting on the host), and there are
+    # no separate forward/backward timings because the whole step is one fused
+    # XLA program (reference logs them split: twotower/train.py:159-181).
     pending = None  # (metrics, num_real, batch_start) fetched one step late
 
     def drain(pending, batch_idx):
