@@ -38,14 +38,18 @@ TRIALS = 3
 
 def _measure(fn, *args):
     """Relay-proof per-call time: chain CHAIN calls in one scan, read one
-    scalar; per-call = (T(CHAIN) - T(1)) / (CHAIN - 1), best of TRIALS."""
+    scalar; per-call = (T(CHAIN) - T(1)) / (CHAIN - 1), best of TRIALS.
+
+    The ids input is salted with the carry (+0 at runtime, data-dependent at
+    compile time) so XLA cannot hoist the loop-invariant call out of the
+    scan — without this every candidate "measures" scan overhead only."""
 
     def make(iters):
         @jax.jit
-        def run(*xs):
+        def run(g, ids):
             def body(acc, i):
-                out = fn(*xs)
-                # perturb nothing, keep result live
+                salt = (acc * 1e-30).astype(ids.dtype)
+                out = fn(g, ids + salt)
                 return acc + out.astype(jnp.float32).sum() * 1e-30, None
             acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(iters))
             return acc
