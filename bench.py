@@ -41,6 +41,7 @@ out of the loop), and a single scalar is read back. Per-step device time is
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -182,7 +183,8 @@ def _bench_char_tower():
     }
 
 
-def _bench_transformer_tower():
+def _bench_transformer_tower(vocab=8192, seq=48, batch=4096, emb=128,
+                             hid=128, layers=2, heads=4):
     import jax
     import jax.numpy as jnp
 
@@ -190,13 +192,11 @@ def _bench_transformer_tower():
         EmbeddingSpec, TowerSpec, TwoTowerSpec, build_loss, init_two_tower)
     from twotowers_tpu.train import (
         build_optimizer, create_train_state, make_train_step)
-
-    vocab, seq, batch, emb, hid, layers = 8192, 48, 4096, 128, 128, 2
     spec = TwoTowerSpec(
         embedding=EmbeddingSpec(kind="lookup", vocab_size=vocab,
                                 embedding_dim=emb),
         tower=TowerSpec(arch="transformer", embedding_dim=emb, hidden_dim=hid,
-                        num_layers=layers, num_heads=4, max_len=seq,
+                        num_layers=layers, num_heads=heads, max_len=seq,
                         dropout=0.0),
         tied_weights=True,
         compute_dtype=jnp.bfloat16,
@@ -484,7 +484,13 @@ def main() -> int:
         _note(f"could not write {partial_path}: {exc}")
 
     extra = record["extra"]
+    # transformer rows: the reference-era small shape (head_dim 32 / L 48 —
+    # lane-padding-bound, see BASELINE.md "Transformer tower MFU") and an
+    # MXU-aligned shape (head_dim 128 / L 128) that shows the code's ceiling.
+    tf_mxu = functools.partial(_bench_transformer_tower, vocab=8192, seq=128,
+                               batch=1024, emb=512, hid=512, layers=4, heads=4)
     for name, fn in (("transformer_tower_train", _bench_transformer_tower),
+                     ("transformer_tower_mxu_shape", tf_mxu),
                      ("word_vocab_32k_train", _bench_word_vocab_tower),
                      ("index_search_1m_docs", _bench_index_qps)):
         _note(f"{name}...")
@@ -494,7 +500,7 @@ def main() -> int:
         except Exception as exc:  # keep the headline alive
             extra[name] = {"error": f"{type(exc).__name__}: {exc}"}
             _note(f"{name} FAILED: {exc}")
-        if (name == "transformer_tower_train" and peak is not None
+        if (name.startswith("transformer_tower") and peak is not None
                 and "tflops" in extra[name]):
             extra[name]["mfu"] = round(extra[name]["tflops"] * 1e12 / peak, 3)
         try:

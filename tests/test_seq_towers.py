@@ -165,6 +165,55 @@ class TestSequenceTowers:
         assert np.all(np.isfinite(out))
 
 
+class TestAttentionNumerics:
+    """The HBM-lean _mha (bf16 score tensors, f32 only inside the fused
+    exp/sum — seq_towers.py docstring) must match the textbook f32-softmax
+    formulation to bf16 rounding."""
+
+    def _reference_mha(self, layer, x, attn_bias, num_heads):
+        batch, seq, h = x.shape
+        head_dim = h // num_heads
+        dtype = x.dtype
+
+        def project(w, b):
+            y = x @ w.astype(dtype) + b.astype(dtype)
+            return y.reshape(batch, seq, num_heads, head_dim).transpose(
+                0, 2, 1, 3)
+
+        q = project(layer["q_w"], layer["q_b"])
+        k = project(layer["k_w"], layer["k_b"])
+        v = project(layer["v_w"], layer["v_b"])
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(head_dim, jnp.float32)).astype(dtype)
+        weights = jax.nn.softmax(
+            scores.astype(jnp.float32) + attn_bias, axis=-1).astype(dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(batch, seq, h)
+        return attn @ layer["o_w"].astype(dtype) + layer["o_b"].astype(dtype)
+
+    @pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-5),
+                                           (jnp.bfloat16, 2e-2)])
+    def test_matches_f32_softmax_reference(self, np_rng, dtype, tol):
+        from twotowers_tpu.models.seq_towers import _mha, transformer_init
+
+        spec = _spec("transformer", dim=16, hidden=16).tower
+        params = transformer_init(jax.random.PRNGKey(3), spec)
+        layer = params["layers"][0]
+        x = jnp.asarray(np_rng.normal(size=(4, 10, 16)), jnp.float32
+                        ).astype(dtype)
+        ids = _ids(np_rng, batch=4, seq=10)
+        key_mask = ids > 0
+        row_has_valid = jnp.any(key_mask, axis=-1)[:, None, None, None]
+        bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e30)
+        attn_bias = jnp.where(row_has_valid, bias, 0.0)
+
+        got = _mha(layer, x, attn_bias, spec.num_heads)
+        want = self._reference_mha(layer, x, attn_bias, spec.num_heads)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=tol, atol=tol)
+
+
 class TestPositionalEmbedding:
     def test_positions_added_only_on_real_tokens(self, np_rng):
         spec = EmbeddingSpec(kind="positional", vocab_size=19,

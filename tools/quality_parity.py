@@ -227,10 +227,13 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--tokenizers", default="char,word,bpe",
                     help="comma-separated subset of char,word,bpe")
+    ap.add_argument("--losses", default="triplet,in_batch,multiple_negatives",
+                    help="comma-separated subset of the loss registry")
     ap.add_argument("--write", action="store_true",
                     help="record results into QUALITY.md")
     args = ap.parse_args()
     tokenizers = [t.strip() for t in args.tokenizers.split(",") if t.strip()]
+    losses = [l.strip() for l in args.losses.split(",") if l.strip()]
 
     msmarco_status = try_msmarco()
     print(f"MS MARCO pull attempt: {msmarco_status}", flush=True)
@@ -244,9 +247,11 @@ def main() -> int:
 
         cells = {}
         for tokenizer in tokenizers:
-            cells[tokenizer] = run_matrix_cell(
-                tokenizer, train_path, tuples, args.epochs, tmp)
-            print_cell(tokenizer, cells[tokenizer])
+            for loss in losses:
+                name = f"{tokenizer}/{loss}"
+                cells[name] = run_matrix_cell(
+                    tokenizer, loss, train_path, tuples, args.epochs, tmp)
+                print_cell(name, cells[name])
 
     record = {"cells": cells, "pairs": args.pairs, "epochs": args.epochs,
               "triplets": n_triplets, "eval_queries": len(tuples),
@@ -260,7 +265,7 @@ def main() -> int:
             "# QUALITY — empirical retrieval-quality parity\n",
             "Both frameworks trained on the SAME seeded synthetic triplet",
             "dataset with the SAME hyperparameters (embed 64, hidden 128,",
-            "tied towers, triplet margin 0.2, AdamW 1e-3, batch 256,",
+            "tied towers, loss per cell below, AdamW 1e-3, batch 256,",
             f"{args.epochs} epochs, {n_triplets} triplets), evaluated on the",
             f"SAME {len(tuples)} held-out queries x {CANDIDATES_PER_QUERY}",
             f"candidates, {HARD_NEGATIVES} of which are same-topic hard",
@@ -273,11 +278,12 @@ def main() -> int:
             f"**MS MARCO pull attempt** (reference's L1/L3 data path): "
             f"{msmarco_status}\n",
         ]
-        for tokenizer, cell in cells.items():
+        for name, cell in cells.items():
             ref = cell.get("reference", {})
-            lines.append(f"## {tokenizer} tokenizer"
+            lines.append(f"## {name}"
                          + ("" if ref else
-                            " (ours only — the reference does not implement it)"))
+                            " (ours only — the reference cannot train this "
+                            "tokenizer/loss cell)"))
             lines.append("")
             lines.append("| metric | reference (PyTorch) | ours (JAX/TPU) "
                          "| untrained |")
