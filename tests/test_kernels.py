@@ -11,75 +11,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from twotowers_tpu.kernels.pallas_embed_pool import embed_pool, fused_embed_pool
 from twotowers_tpu.kernels.pallas_topk import score_topk_pallas
 from twotowers_tpu.models import EmbeddingSpec, TowerSpec, TwoTowerSpec, init_two_tower
 from twotowers_tpu.models.towers import encode
 from twotowers_tpu.ops.core import masked_mean_pool
 from twotowers_tpu.ops.topk_score import score_topk_xla
 
-
-class TestEmbedPoolKernel:
-    def _reference(self, ids, table):
-        embedded = jnp.take(jnp.asarray(table), jnp.asarray(ids), axis=0)
-        return masked_mean_pool(embedded, jnp.asarray(ids))
-
-    @pytest.mark.parametrize("batch,seq,vocab,dim", [
-        (8, 12, 30, 16),
-        (16, 64, 96, 64),
-        (5, 7, 130, 8),   # vocab above one lane, odd batch
-    ])
-    def test_matches_gather_pool(self, np_rng, batch, seq, vocab, dim):
-        ids = np_rng.integers(0, vocab, size=(batch, seq)).astype(np.int32)
-        table = np_rng.normal(size=(vocab, dim)).astype(np.float32)
-        got = embed_pool(jnp.asarray(ids), jnp.asarray(table), 8, True)
-        want = self._reference(ids, table)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-6)
-
-    def test_all_pad_row(self):
-        ids = np.zeros((4, 6), np.int32)
-        table = np.ones((10, 8), np.float32)
-        got = embed_pool(jnp.asarray(ids), jnp.asarray(table), 8, True)
-        np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
-
-    def test_gradient_matches_gather_pool(self, np_rng):
-        ids = np_rng.integers(0, 30, size=(8, 10)).astype(np.int32)
-        table = np_rng.normal(size=(30, 16)).astype(np.float32)
-        g_out = np_rng.normal(size=(8, 16)).astype(np.float32)
-
-        def loss_fused(t):
-            return jnp.sum(embed_pool(jnp.asarray(ids), t, 8, True) * g_out)
-
-        def loss_ref(t):
-            return jnp.sum(self._reference(ids, t) * g_out)
-
-        g_fused = jax.grad(loss_fused)(jnp.asarray(table))
-        g_ref = jax.grad(loss_ref)(jnp.asarray(table))
-        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
-                                   rtol=1e-4, atol=1e-6)
-
-    def test_dispatcher_declines_big_vocab(self, np_rng):
-        ids = jnp.asarray(np_rng.integers(0, 10, size=(4, 6)).astype(np.int32))
-        table = jnp.zeros((3_000_000, 64), jnp.float32)  # ~768MB, over budget
-        assert fused_embed_pool(ids, table) is None
-
-    def test_encode_with_fused_flag_matches(self, rng, np_rng):
-        spec = TwoTowerSpec(
-            embedding=EmbeddingSpec(kind="lookup", vocab_size=40, embedding_dim=16),
-            tower=TowerSpec(arch="mean", embedding_dim=16, hidden_dim=32),
-            tied_weights=True,
-        )
-        fused_spec = TwoTowerSpec(
-            embedding=spec.embedding, tower=spec.tower, tied_weights=True,
-            fused_embed_pool=True,
-        )
-        params = init_two_tower(rng, spec)
-        ids = jnp.asarray(np_rng.integers(0, 40, size=(6, 12)).astype(np.int32))
-        base = encode(params, spec, ids, "query")
-        fused = encode(params, fused_spec, ids, "query")
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
-                                   rtol=1e-5, atol=1e-6)
 
 
 class TestTopKKernel:

@@ -3,7 +3,7 @@
 
 tests/test_kernels.py proves the kernels in interpret mode (CPU CI);
 tools/bench_topk.py asserts on-chip equality but discards the evidence.
-This script runs the Pallas score+top-k and fused embed+pool kernels against
+This script runs the Pallas score+top-k and scatter-add kernels against
 their XLA reference paths ON THE REAL CHIP across a shape sweep and writes
 KERNEL_PARITY.json for the record (VERDICT r2 item 9).
 
@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from twotowers_tpu.kernels.pallas_embed_pool import embed_pool
 from twotowers_tpu.kernels.pallas_topk import score_topk_pallas
 from twotowers_tpu.ops.core import masked_mean_pool
 from twotowers_tpu.ops.topk_score import score_topk_xla
@@ -45,31 +44,6 @@ def check_topk(rng, n_docs: int, dim: int, q: int, k: int) -> dict:
             np.max(np.abs(np.asarray(xv, np.float32) - np.asarray(pv, np.float32)))),
     }
 
-
-def check_embed_pool(rng, vocab: int, dim: int, batch: int, seq: int) -> dict:
-    ids = rng.integers(0, vocab, size=(batch, seq)).astype(np.int32)
-    ids[:, 0] = np.maximum(ids[:, 0], 1)  # no all-PAD rows
-    table = rng.standard_normal((vocab, dim)).astype(np.float32)
-    ids_d, table_d = jax.device_put(ids), jax.device_put(table)
-
-    fused = jax.jit(lambda i, t: embed_pool(i, t))(ids_d, table_d)
-    ref = jax.jit(
-        lambda i, t: masked_mean_pool(jnp.take(t, i, axis=0), i)
-    )(ids_d, table_d)
-
-    # gradients must agree too (custom VJP vs autodiff through gather+pool)
-    g = rng.standard_normal(fused.shape).astype(np.float32)
-    d_fused = jax.jit(jax.grad(
-        lambda t: jnp.sum(embed_pool(ids_d, t) * g)))(table_d)
-    d_ref = jax.jit(jax.grad(
-        lambda t: jnp.sum(masked_mean_pool(jnp.take(t, ids_d, axis=0), ids_d) * g)
-    ))(table_d)
-    return {
-        "kernel": "embed_pool", "vocab": vocab, "dim": dim,
-        "batch": batch, "seq": seq,
-        "fwd_max_abs_diff": float(np.max(np.abs(np.asarray(fused) - np.asarray(ref)))),
-        "grad_max_abs_diff": float(np.max(np.abs(np.asarray(d_fused) - np.asarray(d_ref)))),
-    }
 
 
 def check_scatter_add(rng, vocab: int, dim: int, n: int) -> dict:
@@ -105,8 +79,6 @@ def main() -> int:
         check_topk(rng, 100_000, 128, 8, 10),
         check_topk(rng, 1_000_000, 128, 256, 10),
         check_topk(rng, 262_144, 64, 32, 5),
-        check_embed_pool(rng, 96, 64, 1024, 64),
-        check_embed_pool(rng, 512, 128, 512, 32),
         check_scatter_add(rng, 32768, 64, 1_048_576),
         check_scatter_add(rng, 2048, 128, 262_144),
         # non-8-aligned vocab (BERT-style 30522): block_rows rounds up to a

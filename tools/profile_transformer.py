@@ -231,8 +231,6 @@ def main() -> int:
     return 0
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 # ---------------------------------------------------------------- phase 2
@@ -358,3 +356,7 @@ def phase2() -> int:
 
     print(json.dumps(results, indent=2))
     return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

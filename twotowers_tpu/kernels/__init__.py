@@ -6,14 +6,10 @@ Importing this package registers the fused score+top-k kernel with the
 """
 
 from ..ops.topk_score import register_pallas_impl
-from .pallas_embed_pool import embed_pool, embed_pool_fits_vmem, fused_embed_pool
 from .pallas_topk import score_topk_pallas
 
 register_pallas_impl(score_topk_pallas)
 
 __all__ = [
-    "embed_pool",
-    "embed_pool_fits_vmem",
-    "fused_embed_pool",
     "score_topk_pallas",
 ]

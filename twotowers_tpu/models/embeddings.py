@@ -5,7 +5,7 @@ word2vec / glove registry), re-designed functionally for TPU: an embedding is
 just an f32 ``(vocab_size, dim)`` array in the param pytree plus a spec that
 says whether it trains. The lookup itself (`jnp.take`) fuses into the tower;
 for sharded vocabularies see ``parallel/embedding_shard.py`` and for the
-Pallas fused gather+pool kernel see ``ops/embed_pool.py``.
+Pallas scatter-add gradient kernel see ``kernels/pallas_scatter_add.py``.
 
 Pretrained sources (gensim word2vec/GloVe downloads in the reference) are
 gated: when gensim or its data are unavailable we fall back to a deterministic

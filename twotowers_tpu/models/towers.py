@@ -52,9 +52,6 @@ class TwoTowerSpec:
     tower: TowerSpec
     tied_weights: bool = False
     compute_dtype: Any = jnp.float32
-    # fuse the embedding gather + mean-pool into the Pallas histogram-matmul
-    # kernel (kernels/pallas_embed_pool.py) when the vocab fits VMEM
-    fused_embed_pool: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -187,7 +184,6 @@ def spec_from_config(config: Dict[str, Any], vocab_size: int) -> TwoTowerSpec:
         tower=tower_spec,
         tied_weights=bool(encoder_cfg.get("tied_weights", False)),
         compute_dtype=compute_dtype,
-        fused_embed_pool=bool(config.get("fused_embed_pool", False)),
     )
 
 
@@ -241,21 +237,10 @@ def encode(params: Params, spec: TwoTowerSpec, ids: jnp.ndarray, tower: str = "q
             _tower_params(params, spec, tower), spec.tower, embedded, ids,
             train=train, dropout_rng=dropout_rng,
         )
-    pooled = None
-    if spec.fused_embed_pool and embed_fn is None:
-        from ..kernels.pallas_embed_pool import fused_embed_pool
-
-        table = params["embedding"]["table"]
-        if not spec.embedding.trainable:
-            table = jax.lax.stop_gradient(table)
-        pooled = fused_embed_pool(ids, table)
-        if pooled is not None:
-            pooled = pooled.astype(spec.compute_dtype)
-    if pooled is None:
-        lookup = embed_fn if embed_fn is not None else embed_ids
-        embedded = lookup(params["embedding"], spec.embedding, ids,
-                          dtype=spec.compute_dtype)
-        pooled = masked_mean_pool(embedded, ids)
+    lookup = embed_fn if embed_fn is not None else embed_ids
+    embedded = lookup(params["embedding"], spec.embedding, ids,
+                      dtype=spec.compute_dtype)
+    pooled = masked_mean_pool(embedded, ids)
     return tower_apply(
         _tower_params(params, spec, tower), spec.tower, pooled,
         train=train, dropout_rng=dropout_rng,
