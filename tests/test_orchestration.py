@@ -163,7 +163,8 @@ class TestMsMarcoPipeline:
             (data_dirs / "processed").glob("*.genealogy.json"))
         assert len(genealogy_files) == 1
         genealogy = json.loads(genealogy_files[0].read_text())
-        assert genealogy["pipeline"][0]["rows"] == 200  # fixture raw rows
+        fixture_rows = len(pd.read_parquet(FIXTURE))
+        assert genealogy["pipeline"][0]["rows"] == fixture_rows
         assert genealogy["preset"]["positive_selector"] == "classic"
 
     def test_fuzzy_preset_recovery(self):
