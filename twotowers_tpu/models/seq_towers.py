@@ -15,14 +15,16 @@ with TPU-first designs:
   carry the previous hidden state so padding is a no-op. Final hidden state,
   L2-normalised.
 * **transformer** — input projection + learned positional embeddings, N
-  pre-LN self-attention blocks (multi-head, additive key mask, softmax in
-  f32) with GELU FFNs, final LN, masked mean-pool, L2 norm. All matmuls
-  batched and static so XLA tiles them onto the MXU; attention over the ≤64
-  token sequences this model family uses needs no flash/blockwise treatment
-  (SURVEY.md §2.4: sequence parallelism N/A at these lengths).
+  pre-LN self-attention blocks (multi-head, additive key mask, HBM-lean
+  softmax: f32 only inside fused reductions — see ``_mha``) with GELU FFNs,
+  final LN, masked mean-pool, L2 norm. All matmuls batched and static so
+  XLA tiles them onto the MXU; attention over the ≤64 token sequences this
+  model family uses needs no flash/blockwise treatment (SURVEY.md §2.4) —
+  a whole-sample-in-VMEM Pallas attention kernel was built and measured
+  SLOWER than the XLA composite here (BASELINE.md round-4 negative result:
+  per-sample tiny matmuls are MXU-issue-bound in a Mosaic scalar loop).
 
-Unlike the pooling towers (which consume a pre-pooled (B, D) vector so the
-fused Pallas histogram-matmul kernel can skip the (B, L, D) intermediate),
+Unlike the pooling towers (which consume a pre-pooled (B, D) vector),
 these towers consume the full (B, L, D) token embeddings; ``towers.encode``
 dispatches on ``is_sequence_arch``.
 """
