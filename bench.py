@@ -358,6 +358,10 @@ _TRANSIENT_MARKERS = (
     "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
     "RESOURCE_EXHAUSTED: Attempting to reserve",  # chip held by another proc
     "INTERNAL: Failed to connect",
+    # a relay latency spike can make the single-step trial slower than the
+    # whole chained scan; the measurement guard raises rather than clamps,
+    # and a retry with fresh state is the right response
+    "noise-inverted",
 )
 
 RETRIES = 3
