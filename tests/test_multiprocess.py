@@ -38,6 +38,8 @@ def test_two_process_distributed_smoke(tmp_path):
         assert r["global_devices"] == 8
         assert r["loss_decreased"]
         assert r["checkpoint_roundtrip"]
+        assert r["sharded_index_exact"]
+        assert r["index_shards"] == 8
         # vocab 131 row-sharded over model=2 -> padded 66-row local shards
         assert all(rows == [66, 16] for rows in r["local_table_rows"])
     # both processes hold replicas of the same global computation

@@ -12,7 +12,10 @@ worker, 4 virtual CPU devices each, gloo collectives — and drives:
      steps with per-process batch placement, asserting the loss decreases
      and is bit-identical across processes,
   3. an orbax sharded checkpoint save + restore onto a fresh template,
-     then one more step — the multi-host resume contract.
+     then one more step — the multi-host resume contract,
+  4. the sharded dense index (the north-star retrieval component) built
+     row-sharded over all 8 devices, searched from both processes, exact
+     against a local numpy brute-force.
 
 Catches the bug class single-process simulation cannot: process-local row
 ownership, distributed init ordering, cross-process collective agreement.
@@ -144,7 +147,36 @@ def run_worker(coordinator: str, process_id: int, out_dir: Path) -> None:
     report["post_restore_loss"] = float(
         np.asarray(metrics["loss"].addressable_data(0)))
 
+    # sharded dense index across BOTH processes (the north-star component):
+    # docs row-sharded over the full 8-device mesh, exact global top-k,
+    # verified against a local numpy brute-force on every process
+    from twotowers_tpu.index.sharded import ShardedDocIndex
+    index_mesh = jax.sharding.Mesh(
+        np.asarray(jax.devices()).reshape(1, 8), ("data", "model"))
+    idx_rng = np.random.default_rng(11)
+    docs = idx_rng.standard_normal((3000, 16)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    queries_v = idx_rng.standard_normal((5, 16)).astype(np.float32)
+    queries_v /= np.linalg.norm(queries_v, axis=1, keepdims=True)
+
+    index = ShardedDocIndex(index_mesh, axis="model")
+    index.build(docs)
+    scores, gidx = index.search_vectors(queries_v, k=7)
+    want_scores = queries_v @ docs.T
+    want_idx = np.argsort(-want_scores, axis=1, kind="stable")[:, :7]
+    report["sharded_index_exact"] = bool(
+        np.array_equal(gidx, want_idx)
+        and np.allclose(scores, np.take_along_axis(want_scores, want_idx, 1),
+                        atol=1e-5))
+    report["index_shards"] = index.num_shards
+
     (out_dir / f"worker_{process_id}.json").write_text(json.dumps(report))
+    # rendezvous on the devices before the coordination-service shutdown
+    # barrier: compile-time skew between workers otherwise trips the
+    # barrier's short timeout (observed under pytest load)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("smoke_done")
     jax.distributed.shutdown()
 
 
@@ -199,6 +231,7 @@ def launch(out_json: Path, timeout: float = 600.0) -> int:
         ok = (reports[0]["losses"] == reports[1]["losses"]
               and all(r["loss_decreased"] for r in reports)
               and all(r["checkpoint_roundtrip"] for r in reports)
+              and all(r.get("sharded_index_exact") for r in reports)
               and {r["process_index"] for r in reports} == {0, 1})
 
     record = {

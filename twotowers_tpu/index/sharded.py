@@ -65,7 +65,13 @@ class ShardedDocIndex:
         self._search_fns = {}
 
     def build(self, doc_vectors: np.ndarray) -> None:
-        """Place (N, D) vectors row-sharded over the mesh axis."""
+        """Place (N, D) vectors row-sharded over the mesh axis.
+
+        Multi-process: every process passes the SAME full matrix (or at
+        least the rows its devices own at the right global positions) and
+        each places only its addressable shards — the single device_put of
+        a global array is a single-process-only operation.
+        """
         n, dim = doc_vectors.shape
         self._n_docs = n
         n_pad = _round_up(n, ROW_ALIGN * self.num_shards)
@@ -77,14 +83,25 @@ class ShardedDocIndex:
         spec = (
             P(self.axis, None) if self.num_shards > 1 else P()
         )
-        self._doc_matrix = jax.device_put(
-            jnp.asarray(doc_vectors), NamedSharding(self.mesh, spec)
-        )
+        self._doc_matrix = self._place(
+            jnp.asarray(doc_vectors), NamedSharding(self.mesh, spec))
         self._search_fns = {}
         logger.info(
             "Built sharded index: %d docs over %d shard(s), %d rows/shard",
             n, self.num_shards, self._rows_per_shard,
         )
+
+    @staticmethod
+    def _place(array: jnp.ndarray, sharding: NamedSharding) -> jax.Array:
+        if jax.process_count() == 1:
+            return jax.device_put(array, sharding)
+        device_arrays = [
+            jax.device_put(array[idx], device)
+            for device, idx in sharding.addressable_devices_indices_map(
+                array.shape).items()
+        ]
+        return jax.make_array_from_single_device_arrays(
+            array.shape, sharding, device_arrays)
 
     def _search_fn(self, k: int):
         if k not in self._search_fns:
@@ -105,13 +122,21 @@ class ShardedDocIndex:
         return self._search_fns[k]
 
     def search_vectors(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """(Q, D) query vectors -> exact global (scores, indices), (Q, k)."""
+        """(Q, D) query vectors -> exact global (scores, indices), (Q, k).
+
+        Multi-process: every process passes the same queries; the result is
+        replicated, so each process reads its local copy.
+        """
         if self._doc_matrix is None:
             raise RuntimeError("Index not built")
         k = min(k, self._n_docs)
-        scores, idx = self._search_fn(k)(
-            self._doc_matrix, jnp.asarray(queries), jnp.int32(self._n_docs)
-        )
+        replicated = NamedSharding(self.mesh, P())
+        queries = self._place(jnp.asarray(queries), replicated)
+        n_docs = self._place(jnp.full((), self._n_docs, jnp.int32), replicated)
+        scores, idx = self._search_fn(k)(self._doc_matrix, queries, n_docs)
+        if jax.process_count() > 1:
+            return (np.asarray(scores.addressable_data(0)),
+                    np.asarray(idx.addressable_data(0)))
         return np.asarray(scores), np.asarray(idx)
 
     @property
