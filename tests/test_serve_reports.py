@@ -68,6 +68,41 @@ class TestVectorCollection:
         assert a["ids"] == b["ids"]
 
 
+    def test_device_index_cache_invalidation(self):
+        """The cached device-resident matrix must refresh after adds and
+        after load (round-4 serving fix: the old path re-uploaded the whole
+        matrix every query)."""
+        c = VectorCollection("t")
+        c.add(["a", "b"], np.stack([_unit([1, 0, 0]), _unit([0, 1, 0])]),
+              ["doc a", "doc b"])
+        first = c.query(_unit([1, 0, 0])[None, :], n_results=1)
+        assert first["ids"][0] == ["a"]
+        v0 = c._device_version
+        # cache hit: same version, no rebuild
+        c.query(_unit([0, 1, 0])[None, :], n_results=1)
+        assert c._device_version == v0
+
+        # an add must invalidate and include the new doc
+        c.add(["c"], _unit([0.9, 0.1, 0])[None, :], ["doc c better"])
+        got = c.query(_unit([1, 0, 0])[None, :], n_results=2)
+        assert "c" in got["ids"][0]
+        assert c._device_version != v0
+
+        # overwriting an embedding must invalidate too
+        c.add(["a"], _unit([0, 0, 1])[None, :], ["doc a moved"])
+        got = c.query(_unit([0, 0, 1])[None, :], n_results=1)
+        assert got["ids"][0] == ["a"]
+
+    def test_load_invalidates_device_cache(self, tmp_path):
+        c = VectorCollection("t")
+        c.add(["a"], _unit([1, 0, 0])[None, :], ["doc a"])
+        c.query(_unit([1, 0, 0])[None, :])  # populate the cache
+        c.save(str(tmp_path / "col"))
+        restored = VectorCollection.load(str(tmp_path / "col"))
+        got = restored.query(_unit([1, 0, 0])[None, :], n_results=1)
+        assert got["ids"][0] == ["a"]
+
+
 @pytest.fixture
 def run_dir(tmp_path):
     """A synthetic run directory shaped like the trainer's output."""
