@@ -80,6 +80,9 @@ def build_service(n_docs: int):
             return np.atleast_2d(np.asarray(
                 self._search._encode_texts(texts, tower), np.float32))
 
+        def encode_device(self, texts, tower="query"):
+            return self._search._encode_texts_device(texts, tower)
+
     rng = random.Random(0)
     docs = [syn.generate_document(rng) for _ in range(min(n_docs, 2000))]
     # tile up to n_docs with suffix variation so texts stay unique

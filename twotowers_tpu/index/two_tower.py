@@ -65,18 +65,29 @@ class TwoTowerSearch(BaseSearch):
 
     # ---- indexing ------------------------------------------------------------
 
-    def _encode_texts(self, texts: Sequence[str], tower: str) -> np.ndarray:
+    def _encode_texts_device(self, texts: Sequence[str],
+                             tower: str) -> jnp.ndarray:
+        """(N, D) unit vectors, left ON DEVICE — no blocking readback.
+
+        Callers that chain another device op (search, the serving store)
+        stay fully async until their own final readback: the relay charges
+        ~25 ms per blocking host transfer, so the number of readbacks, not
+        launches, sets serving latency."""
         ids = self.tokenizer.encode_batch(list(texts), self.max_length)
         n = len(texts)
         bs = self.encode_batch_size
         padded = _round_up(n, bs)
         if padded != n:
             ids = np.concatenate([ids, np.zeros((padded - n, self.max_length), np.int32)])
-        chunks = []
-        for start in range(0, padded, bs):
-            chunk = self._encode(self.params, jnp.asarray(ids[start:start + bs]), tower)
-            chunks.append(chunk)
-        return np.concatenate([np.asarray(c) for c in chunks])[:n]
+        chunks = [
+            self._encode(self.params, jnp.asarray(ids[start:start + bs]), tower)
+            for start in range(0, padded, bs)
+        ]
+        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        return out[:n]
+
+    def _encode_texts(self, texts: Sequence[str], tower: str) -> np.ndarray:
+        return np.asarray(self._encode_texts_device(texts, tower))
 
     def index_documents(self, documents: Sequence[str]) -> None:
         start = time.time()
@@ -111,12 +122,16 @@ class TwoTowerSearch(BaseSearch):
         if self._doc_matrix is None:
             raise RuntimeError("No index built; call index_documents or load_index")
         top_k = min(top_k, self._n_docs)
-        q_vecs = self._encode_texts(list(queries), "query")
+        # encode stays on device: one blocking readback for the whole search
+        q_vecs = self._encode_texts_device(list(queries), "query")
         scores, indices = self._topk_fn(top_k)(
-            self._doc_matrix, jnp.asarray(q_vecs), jnp.int32(self._n_docs)
+            self._doc_matrix, q_vecs, jnp.int32(self._n_docs)
         )
-        scores = np.asarray(scores)
-        indices = np.asarray(indices)
+        # single packed readback; f32 holds doc indices exactly below 2^24
+        packed = np.asarray(jnp.concatenate(
+            [scores.astype(jnp.float32), indices.astype(jnp.float32)], axis=1))
+        scores = packed[:, :top_k]
+        indices = packed[:, top_k:].astype(np.int32)
         return [
             [(self.documents[int(i)], float(s)) for s, i in zip(qs, qi)]
             for qs, qi in zip(scores, indices)

@@ -60,6 +60,11 @@ class ModelRuntime:
         vectors = self._search._encode_texts(texts, tower)
         return np.atleast_2d(np.asarray(vectors, np.float32))
 
+    def encode_device(self, texts: List[str], tower: str = "query"):
+        """Device-resident encode for callers that chain another device op
+        (RetrievalService.search): no blocking host readback here."""
+        return self._search._encode_texts_device(texts, tower)
+
 
 def _load_runtime() -> Optional[ModelRuntime]:
     checkpoint = os.environ.get("MODEL_CHECKPOINT")

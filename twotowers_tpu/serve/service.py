@@ -68,7 +68,13 @@ class RetrievalService:
 
     def search(self, query: str, top_k: int = 5) -> Dict[str, Any]:
         model = self._require_model()
-        query_vec = model.encode([query], "query")
+        # prefer the device-resident encode: the store consumes the vector
+        # without a host round-trip, so the search result is the query's
+        # only blocking device transfer
+        if hasattr(model, "encode_device"):
+            query_vec = model.encode_device([query], "query")
+        else:
+            query_vec = model.encode([query], "query")
         result = self.collection.query(query_vec, n_results=top_k)
         return {
             "query": query,

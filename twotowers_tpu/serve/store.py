@@ -117,16 +117,25 @@ class VectorCollection:
                         "metadatas": [[]]}
             device_unit, n = self._device_index()
 
-        queries = np.atleast_2d(np.asarray(query_embeddings, np.float32))
-        q_norm = queries / np.maximum(
-            np.linalg.norm(queries, axis=1, keepdims=True), 1e-8
-        )
+        if isinstance(query_embeddings, jnp.ndarray):
+            # already on device (serving fast path): normalise there and do
+            # NOT round-trip through host — the final result readback is
+            # then the query's only blocking transfer
+            queries = jnp.atleast_2d(query_embeddings.astype(jnp.float32))
+            q_norm = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-8)
+        else:
+            host = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+            q_norm = jnp.asarray(host / np.maximum(
+                np.linalg.norm(host, axis=1, keepdims=True), 1e-8))
         k = min(n_results, n)
-        scores, indices = score_topk(
-            device_unit, jnp.asarray(q_norm), k, jnp.int32(n)
-        )
-        scores = np.asarray(scores)
-        indices = np.asarray(indices)
+        scores, indices = score_topk(device_unit, q_norm, k, jnp.int32(n))
+        # one packed readback instead of two (each blocking transfer costs a
+        # full relay round-trip); f32 holds doc indices exactly below 2^24
+        packed = np.asarray(jnp.concatenate(
+            [scores.astype(jnp.float32), indices.astype(jnp.float32)], axis=1))
+        scores = packed[:, :k]
+        indices = packed[:, k:].astype(np.int32)
         with self._lock:
             # positions < n are append-only stable; index directly under
             # the lock instead of copying the full lists every query
