@@ -171,13 +171,17 @@ def run_worker(coordinator: str, process_id: int, out_dir: Path) -> None:
     report["index_shards"] = index.num_shards
 
     (out_dir / f"worker_{process_id}.json").write_text(json.dumps(report))
-    # rendezvous on the devices before the coordination-service shutdown
-    # barrier: compile-time skew between workers otherwise trips the
-    # barrier's short timeout (observed under pytest load)
+    # rendezvous on the devices so both workers have finished all collective
+    # work, then exit WITHOUT the coordination-service shutdown barrier:
+    # that barrier's timeout flakes under load when one worker's interpreter
+    # teardown is slow, and everything observable (the report files) is
+    # already on disk. os._exit skips jax's atexit shutdown hook.
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("smoke_done")
-    jax.distributed.shutdown()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 # --------------------------------------------------------------- launcher
