@@ -98,7 +98,8 @@ def _tf_flops(batch: int, seq: int, emb: int, hid: int, layers: int) -> float:
     return 2 * 3.0 * fwd + 3.0 * 2 * batch * batch * hid
 
 
-def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights):
+def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights,
+                   chain: int = CHAIN):
     """Relay-proof per-step time for a train step over a pool of batches."""
     import jax
     import jax.numpy as jnp
@@ -123,7 +124,7 @@ def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights):
             return acc
         return run
 
-    one, many = make_chained(1), make_chained(CHAIN)
+    one, many = make_chained(1), make_chained(chain)
 
     def best(fn):
         out = float("inf")
@@ -139,8 +140,8 @@ def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights):
     t1, tn = best(one), best(many)
     if tn <= t1:
         raise RuntimeError(
-            f"noise-inverted measurement: T({CHAIN})={tn:.4f}s <= T(1)={t1:.4f}s")
-    return (tn - t1) / (CHAIN - 1)
+            f"noise-inverted measurement: T({chain})={tn:.4f}s <= T(1)={t1:.4f}s")
+    return (tn - t1) / (chain - 1)
 
 
 def _bench_char_tower():
@@ -184,7 +185,7 @@ def _bench_char_tower():
 
 
 def _bench_transformer_tower(vocab=8192, seq=48, batch=4096, emb=128,
-                             hid=128, layers=2, heads=4):
+                             hid=128, layers=2, heads=4, chain=CHAIN):
     import jax
     import jax.numpy as jnp
 
@@ -215,7 +216,8 @@ def _bench_transformer_tower(vocab=8192, seq=48, batch=4096, emb=128,
     weights = jax.device_put(np.ones(batch, np.float32))
 
     per_step = _measure_train(
-        step, lambda: create_train_state(params, optimizer), q, p, None, weights)
+        step, lambda: create_train_state(params, optimizer), q, p, None,
+        weights, chain=chain)
     gflops = _tf_flops(batch, seq, emb, hid, layers) / 1e9
     return {
         "shape": f"vocab{vocab}_seq{seq}_emb{emb}_hid{hid}_L{layers}_b{batch}",
@@ -491,8 +493,11 @@ def main() -> int:
     # transformer rows: the reference-era small shape (head_dim 32 / L 48 —
     # lane-padding-bound, see BASELINE.md "Transformer tower MFU") and an
     # MXU-aligned shape (head_dim 128 / L 128) that shows the code's ceiling.
+    # 200 ms steps: a 9-step chain keeps the measurement differenced and
+    # relay-proof while saving ~5 min of driver wall-clock vs CHAIN=33
     tf_mxu = functools.partial(_bench_transformer_tower, vocab=8192, seq=128,
-                               batch=1024, emb=512, hid=512, layers=4, heads=4)
+                               batch=1024, emb=512, hid=512, layers=4,
+                               heads=4, chain=9)
     for name, fn in (("transformer_tower_train", _bench_transformer_tower),
                      ("transformer_tower_mxu_shape", tf_mxu),
                      ("word_vocab_32k_train", _bench_word_vocab_tower),
