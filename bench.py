@@ -126,22 +126,31 @@ def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights,
 
     one, many = make_chained(1), make_chained(chain)
 
-    def best(fn):
-        out = float("inf")
-        for _ in range(TRIALS):
-            state = state_of()
-            float(fn(state))  # warm cache / compile on first trial
-            state = state_of()
-            t0 = time.perf_counter()
-            float(fn(state))  # scalar readback = real completion
-            out = min(out, time.perf_counter() - t0)
-        return out
+    def timed(fn):
+        state = state_of()
+        float(fn(state))  # warm cache / compile on first use
+        state = state_of()
+        t0 = time.perf_counter()
+        float(fn(state))  # scalar readback = real completion
+        return time.perf_counter() - t0
 
-    t1, tn = best(one), best(many)
-    if tn <= t1:
+    # T(1)/T(N) trials run INTERLEAVED and the per-step estimate is the
+    # median of paired diffs: a sustained relay-congestion window during an
+    # all-T(1)-then-all-T(N) schedule inflates one side only and once
+    # produced a physically impossible 141% MFU (per-step far below the
+    # hardware floor). Pairing puts both measurements in the same network
+    # conditions; the median rejects a single bad pair.
+    diffs = []
+    for _ in range(TRIALS):
+        t1 = timed(one)
+        tn = timed(many)
+        if tn > t1:
+            diffs.append((tn - t1) / (chain - 1))
+    if not diffs:
         raise RuntimeError(
-            f"noise-inverted measurement: T({chain})={tn:.4f}s <= T(1)={t1:.4f}s")
-    return (tn - t1) / (chain - 1)
+            f"noise-inverted measurement: every T({chain}) <= T(1) pair")
+    diffs.sort()
+    return diffs[len(diffs) // 2]
 
 
 def _bench_char_tower():
@@ -458,8 +467,22 @@ def main() -> int:
     _note(f"device ready: {getattr(device, 'device_kind', device)}")
 
     _note("char tower train bench...")
+
+    def char_checked():
+        out = _bench_char_tower()
+        # physical plausibility: the hardware lane-pads vocab 96->128, so it
+        # executes 4/3x the model FLOPs — any per-step estimate implying
+        # > 100% PHYSICAL MXU occupancy is a measurement artifact (relay
+        # congestion skewing the differenced timing), not a result
+        if peak is not None and out["tflops"] * 1e12 * (128 / 96) > peak:
+            raise RuntimeError(
+                "noise-inverted: implausible per-step estimate "
+                f"({out['tflops']:.0f} model-TFLOP/s x 4/3 padding "
+                "> device peak)")
+        return out
+
     try:
-        char = _with_retries(_bench_char_tower, "char_tower")
+        char = _with_retries(char_checked, "char_tower")
     except Exception as exc:
         # headline failed even after retries: emit a parsable error record
         print(json.dumps({
