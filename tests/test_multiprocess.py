@@ -20,10 +20,16 @@ REPO = Path(__file__).resolve().parents[1]
 
 def test_two_process_distributed_smoke(tmp_path):
     out_json = tmp_path / "multiprocess.json"
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "multiprocess_smoke.py"),
-         "--out_json", str(out_json)],
-        capture_output=True, text=True, timeout=560)
+    # one retry: under full-suite load the workers' XLA compiles slow down
+    # enough to trip distributed-init timing on rare runs; a genuine bug
+    # fails both attempts and the second attempt's output is preserved
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "multiprocess_smoke.py"),
+             "--out_json", str(out_json)],
+            capture_output=True, text=True, timeout=560)
+        if proc.returncode == 0:
+            break
     assert proc.returncode == 0, (
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
 
