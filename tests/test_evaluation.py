@@ -62,7 +62,39 @@ class TestNDCG:
     def test_perfect_ranking(self):
         assert ndcg_at_k([1, 1, 0, 0], 4) == pytest.approx(1.0)
 
-    def test_against_sklearn(self):
+    def test_rank_sensitivity(self):
+        # the defect the reference's NDCG had (VERDICT r4 weak #1): a rank-2
+        # hit must beat a rank-10 hit and lose to a rank-1 hit, strictly.
+        rank1 = ndcg_at_k([1] + [0] * 9, 10)
+        rank2 = ndcg_at_k([0, 1] + [0] * 8, 10)
+        rank10 = ndcg_at_k([0] * 9 + [1], 10)
+        assert rank1 == pytest.approx(1.0)
+        assert rank1 > rank2 > rank10 > 0.0
+        # exact values: DCG discount 1/log2(i+2), single relevant → IDCG=1
+        assert rank2 == pytest.approx(1 / np.log2(3))
+        assert rank10 == pytest.approx(1 / np.log2(11))
+
+    def test_rank2_outside_k_window(self):
+        # hits beyond k contribute nothing; k=5 with the hit at rank 6 is 0
+        assert ndcg_at_k([0] * 5 + [1] + [0] * 4, 5) == 0.0
+        # ...but content at ranks 2-5 moves ndcg@5 (it could not, pre-fix)
+        assert ndcg_at_k([0, 1, 1, 0, 0], 5) != ndcg_at_k([0, 1, 0, 0, 1], 5)
+
+    def test_graded_relevance(self):
+        # graded gains, hand computed: rel [3,1,2] at k=3
+        got = ndcg_at_k([3, 1, 2], 3)
+        dcg = 3 / np.log2(2) + 1 / np.log2(3) + 2 / np.log2(4)
+        idcg = 3 / np.log2(2) + 2 / np.log2(3) + 1 / np.log2(4)
+        assert got == pytest.approx(dcg / idcg)
+
+    def test_no_relevant_is_zero(self):
+        assert ndcg_at_k([0, 0, 0], 3) == 0.0
+
+    def test_short_list(self):
+        assert ndcg_at_k([1], 5) == pytest.approx(1.0)
+        assert ndcg_at_k([0, 1], 5) == pytest.approx(1 / np.log2(3))
+
+    def test_reference_compat_matches_sklearn_call_shape(self):
         sklearn = pytest.importorskip("sklearn.metrics")
         rng = np.random.default_rng(0)
         for _ in range(20):
@@ -70,11 +102,18 @@ class TestNDCG:
             if rel.sum() == 0:
                 continue
             k = int(rng.integers(1, 8))
-            got = ndcg_at_k(rel, k)
+            got = ndcg_at_k(rel, k, reference_compat=True)
             y_true = np.sort(rel)[::-1].reshape(1, -1)
             y_score = rel.reshape(1, -1)
             want = sklearn.ndcg_score(y_true, y_score, k=k)
             assert got == pytest.approx(want, abs=1e-9)
+
+    def test_reference_compat_is_degenerate(self):
+        # documents WHY compat mode is quarantined: rank-2 == rank-9 == a
+        # constant independent of rank, i.e. affine in precision@1
+        vals = [ndcg_at_k([0] * r + [1] + [0] * (9 - r), 5,
+                          reference_compat=True) for r in range(1, 10)]
+        assert all(v == pytest.approx(vals[0]) for v in vals)
 
     def test_fallback_matches_sklearn(self):
         sklearn = pytest.importorskip("sklearn.metrics")

@@ -142,7 +142,36 @@ def try_msmarco() -> str:
         return f"unavailable: {type(exc).__name__}: {exc}"
 
 
-def run_reference(train_path: Path, tuples, epochs: int, config: dict):
+def _reference_rankings(model, tokeniser, tuples):
+    """Rank each tuple's candidates with the reference model (mirrors its
+    evaluate.py:126-199 encode+cosine path) and return sorted relevance
+    lists, so metrics with OUR semantics (e.g. the corrected NDCG) can be
+    computed over the reference's rankings."""
+    import torch
+
+    out = []
+    with torch.no_grad():
+        for query, documents, relevance in tuples:
+            q_ids = torch.tensor(
+                [tokeniser.truncate_and_pad(tokeniser.encode(query), 64)])
+            q_vec = model.encode_query(q_ids)[0]
+            d_vecs = []
+            for start in range(0, len(documents), 64):
+                batch = documents[start:start + 64]
+                d_ids = torch.tensor([
+                    tokeniser.truncate_and_pad(tokeniser.encode(d), 64)
+                    for d in batch])
+                d_vecs.append(model.encode_document(d_ids))
+            d_mat = torch.cat(d_vecs)
+            scores = torch.nn.functional.cosine_similarity(
+                q_vec.unsqueeze(0), d_mat)
+            order = torch.argsort(scores, descending=True, stable=True)
+            out.append(np.asarray(relevance)[order.numpy()])
+    return out
+
+
+def run_reference(train_path: Path, tuples, epochs: int, config: dict,
+                  seed: int = SEED):
     """Train + evaluate the reference with its own code (read-only import)."""
     sys.path.insert(0, "/root/reference")
     sys.modules.setdefault("wandb", types.ModuleType("wandb"))
@@ -151,21 +180,32 @@ def run_reference(train_path: Path, tuples, epochs: int, config: dict):
     from twotower.train import build_pipeline, train_epoch
     from twotower.evaluate import evaluate_model
 
-    torch.manual_seed(SEED)
+    from twotowers_tpu.evaluation.metrics import ndcg_at_k
+
+    torch.manual_seed(seed)
     cfg = dict(config, data=str(train_path), epochs=epochs)
     model, dataset, optimizer, loss_fn = build_pipeline(cfg, "cpu")
     loader = DataLoader(dataset, batch_size=cfg["batch_size"], shuffle=True,
-                        generator=torch.Generator().manual_seed(SEED))
+                        generator=torch.Generator().manual_seed(seed))
     last = {}
     for _ in range(epochs):
         last = train_epoch(model, loader, optimizer, loss_fn, "cpu")
     results = evaluate_model(model, tuples, dataset.tokeniser,
                              k_values=K_VALUES, device="cpu")
+    # the reference's own NDCG is the degenerate call shape (VERDICT r4 weak
+    # #1) — record it under ndcg_compat@k and compute the CORRECT NDCG over
+    # the reference's rankings for the headline columns
+    ranked = _reference_rankings(model, dataset.tokeniser, tuples)
+    for k in K_VALUES:
+        results[f"ndcg_compat@{k}"] = results.pop(
+            f"ndcg@{k}", float("nan"))
+        results[f"ndcg@{k}"] = float(
+            np.mean([ndcg_at_k(sr, k) for sr in ranked]))
     return results, float(last.get("loss", float("nan")))
 
 
 def run_ours(train_path: Path, tuples, epochs: int, tmp: Path, config: dict,
-             trained: bool = True):
+             trained: bool = True, seed: int = SEED):
     """Train + evaluate this framework on the same data and hyperparams."""
     from twotowers_tpu.evaluation import evaluate_model
     from twotowers_tpu.train import train_model
@@ -176,21 +216,26 @@ def run_ours(train_path: Path, tuples, epochs: int, tmp: Path, config: dict,
     cfg = dict(config, data=str(train_path), epochs=epochs,
                checkpoint_dir=str(tmp / "ckpt"), log_dir=str(tmp / "logs"))
     if trained:
-        state, pipeline = train_model(cfg, seed=SEED)
+        state, pipeline = train_model(cfg, seed=seed)
         params = state.params
         eval_step = make_eval_step(pipeline.spec, pipeline.loss_def)
         loss = evaluate(eval_step, params, pipeline,
                         cfg["batch_size"])["loss"]
     else:
-        pipeline = build_pipeline(cfg, seed=SEED)
+        pipeline = build_pipeline(cfg, seed=seed)
         params, loss = pipeline.params, float("nan")
     results = evaluate_model(params, pipeline.spec, tuples, pipeline.tokenizer,
                              k_values=K_VALUES)
+    compat = evaluate_model(params, pipeline.spec, tuples, pipeline.tokenizer,
+                            k_values=K_VALUES, metrics=("ndcg",),
+                            ndcg_reference_compat=True)
+    for k in K_VALUES:
+        results[f"ndcg_compat@{k}"] = compat[f"ndcg@{k}"]
     return results, loss
 
 
 KEYS = ["mrr"] + [f"{m}@{k}" for m in ("precision", "recall", "ndcg")
-                  for k in K_VALUES]
+                  for k in K_VALUES] + [f"ndcg_compat@{k}" for k in K_VALUES]
 
 
 def run_matrix_cell(tokenizer: str, loss: str, train_path, tuples, epochs,
@@ -275,6 +320,13 @@ def main() -> int:
             "its only path in this image); ours = twotowers_tpu on the visible",
             "chip. Untrained = our init params (control). Produced by",
             "`python tools/quality_parity.py --write`.\n",
+            "`ndcg@k` is the CORRECT rank-ordered NDCG (both frameworks'",
+            "rankings scored with the same fixed metric — the reference's own",
+            "NDCG call shape is degenerate, see",
+            "twotowers_tpu/evaluation/metrics.py). `ndcg_compat@k` reproduces",
+            "the reference's defective call shape on both sides for parity",
+            "bookkeeping; it is an affine function of precision@1 and carries",
+            "no extra information.\n",
             f"**MS MARCO pull attempt** (reference's L1/L3 data path): "
             f"{msmarco_status}\n",
         ]

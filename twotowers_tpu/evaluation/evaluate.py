@@ -64,14 +64,28 @@ class _Encoder:
                 [ids, np.zeros((padded_n - n, self.max_length), np.int32)]
             )
         fn = self._fn(tower)
-        # dispatch all chunks async, read back ONCE: each blocking transfer
+        # dispatch chunks async, read back ONCE: each blocking transfer
         # costs a full round-trip on relayed devices (~26 ms here), which
-        # dominated evaluation wall-clock at 8 readbacks per test tuple
-        outs = [
-            fn(self.params, jnp.asarray(ids[start:start + self.batch_size]))
-            for start in range(0, padded_n, self.batch_size)
-        ]
-        device_out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        # dominated evaluation wall-clock at 8 readbacks per test tuple.
+        # The in-flight window is bounded so device memory stays O(window)
+        # rather than O(corpus): every MAX_INFLIGHT chunks the outputs are
+        # concatenated on-device (inputs become collectable) and we block on
+        # the oldest concat before dispatching past the next window.
+        MAX_INFLIGHT = 64
+        outs: List[Any] = []
+        merged: List[Any] = []
+        for start in range(0, padded_n, self.batch_size):
+            outs.append(
+                fn(self.params, jnp.asarray(ids[start:start + self.batch_size]))
+            )
+            if len(outs) >= MAX_INFLIGHT:
+                if merged:
+                    merged[-1].block_until_ready()
+                merged.append(jnp.concatenate(outs))
+                outs = []
+        if outs:
+            merged.append(outs[0] if len(outs) == 1 else jnp.concatenate(outs))
+        device_out = merged[0] if len(merged) == 1 else jnp.concatenate(merged)
         return np.asarray(device_out)[:n]
 
 
@@ -84,8 +98,13 @@ def evaluate_model(
     k_values: Sequence[int] = DEFAULT_K_VALUES,
     batch_size: int = 32,
     max_length: int = DEFAULT_MAX_LENGTH,
+    ndcg_reference_compat: bool = False,
 ) -> Dict[str, float]:
-    """Evaluate retrieval quality; returns {metric@k: score} means."""
+    """Evaluate retrieval quality; returns {metric@k: score} means.
+
+    ``ndcg_reference_compat=True`` reproduces the reference's degenerate
+    NDCG call shape (see metrics.ndcg_at_k) for parity harness runs only.
+    """
     encoder = _Encoder(params, spec, tokenizer, max_length, batch_size)
 
     all_precision, all_recall, all_mrr, all_ndcg = [], [], [], []
@@ -105,7 +124,10 @@ def evaluate_model(
             [recall_at_k(sorted_relevance, k, total_relevant) for k in k_values]
         )
         all_mrr.append(mean_reciprocal_rank(sorted_relevance))
-        all_ndcg.append([ndcg_at_k(sorted_relevance, k) for k in k_values])
+        all_ndcg.append([
+            ndcg_at_k(sorted_relevance, k, reference_compat=ndcg_reference_compat)
+            for k in k_values
+        ])
 
     results: Dict[str, float] = {}
     if "precision" in metrics:
