@@ -88,6 +88,41 @@ class TestVectorCollection:
         assert "c" in got["ids"][0]
         assert c._device_version != v0
 
+    def test_query_retries_on_concurrent_overwrite(self):
+        """ADVICE r4: an overwrite between the score snapshot and the
+        document read must not pair the NEW text with a score computed
+        against the OLD embedding — the version check rescans."""
+        c = VectorCollection("t")
+        c.add(["a", "b"], np.stack([_unit([1, 0, 0]), _unit([0, 1, 0])]),
+              ["doc a", "doc b"])
+
+        # interleave a racing overwrite in the TOCTOU window: scoring runs
+        # outside the lock, so patch the score op to overwrite record "a"
+        # (new text, flipped embedding) on its first invocation — after the
+        # snapshot+version capture, before the document read
+        import twotowers_tpu.ops.topk_score as topk_mod
+
+        original = topk_mod.score_topk
+        fired = {"done": False}
+
+        def racing_score_topk(*args, **kwargs):
+            out = original(*args, **kwargs)
+            if not fired["done"]:
+                fired["done"] = True
+                c.add(["a"], _unit([0, 1, 0])[None, :], ["doc a flipped"])
+            return out
+
+        topk_mod.score_topk = racing_score_topk
+        try:
+            got = c.query(_unit([0, 1, 0])[None, :], n_results=1)
+        finally:
+            topk_mod.score_topk = original
+        # correct outcome: the retry rescored against the NEW embedding, so
+        # the flipped "a" (now aligned with the query) wins with the new
+        # text — never the stale pairing of new text + old (orthogonal) score
+        assert got["documents"][0][0] == "doc a flipped"
+        assert got["distances"][0][0] == pytest.approx(0.0, abs=1e-5)
+
         # overwriting an embedding must invalidate too
         c.add(["a"], _unit([0, 0, 1])[None, :], ["doc a moved"])
         got = c.query(_unit([0, 0, 1])[None, :], n_results=1)

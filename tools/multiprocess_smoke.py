@@ -170,6 +170,47 @@ def run_worker(coordinator: str, process_id: int, out_dir: Path) -> None:
                         atol=1e-5))
     report["index_shards"] = index.num_shards
 
+    # round-5 (VERDICT r4 weak #6): multi-process index persistence.
+    # (a) to_host must reassemble the exact matrix on every process even
+    # though the global array is not fully addressable from either;
+    from jax.experimental import multihost_utils
+
+    report["to_host_exact"] = bool(np.array_equal(index.to_host(), docs))
+
+    # (b) text-level save -> load -> search exactness through
+    # ShardedTwoTowerSearch, with an UNEVEN doc count (501 docs over 8
+    # 128-aligned shards: shard 3 holds a partial block, shards 4-7 are
+    # pure padding — the clip path), saved by process 0 only.
+    from twotowers_tpu.index.sharded import ShardedTwoTowerSearch
+    from twotowers_tpu.tokenizers import CharTokenizer
+
+    texts = [f"document number {i} about topic {i % 13}" for i in range(501)]
+    tok = CharTokenizer().fit(texts)
+    sspec = TwoTowerSpec(
+        embedding=EmbeddingSpec(kind="lookup", vocab_size=tok.vocab_size,
+                                embedding_dim=8),
+        tower=TowerSpec(arch="mean", embedding_dim=8, hidden_dim=8),
+        tied_weights=True,
+    )
+    sparams = init_two_tower(jax.random.PRNGKey(1), sspec)
+    probe = ["document number 7 about topic 7", "everything about topic 12"]
+    search1 = ShardedTwoTowerSearch(sparams, sspec, tok, index_mesh,
+                                    max_length=24)
+    search1.index_documents(texts)
+    res1 = search1.search_batch(probe, top_k=5)
+    save_dir = out_dir / "sharded_index"
+    search1.save_index(str(save_dir))
+    multihost_utils.sync_global_devices("index_saved")  # proc 0 wrote files
+    search2 = ShardedTwoTowerSearch(sparams, sspec, tok, index_mesh,
+                                    max_length=24)
+    search2.load_index(str(save_dir))
+    res2 = search2.search_batch(probe, top_k=5)
+    report["index_persistence_exact"] = bool(
+        all(d1 == d2 and abs(s1 - s2) < 1e-6
+            for r1, r2 in zip(res1, res2)
+            for (d1, s1), (d2, s2) in zip(r1, r2)))
+    report["index_persistence_docs"] = len(texts)
+
     (out_dir / f"worker_{process_id}.json").write_text(json.dumps(report))
     # rendezvous on the devices so both workers have finished all collective
     # work, then exit WITHOUT the coordination-service shutdown barrier:
@@ -236,6 +277,8 @@ def launch(out_json: Path, timeout: float = 600.0) -> int:
               and all(r["loss_decreased"] for r in reports)
               and all(r["checkpoint_roundtrip"] for r in reports)
               and all(r.get("sharded_index_exact") for r in reports)
+              and all(r.get("to_host_exact") for r in reports)
+              and all(r.get("index_persistence_exact") for r in reports)
               and {r["process_index"] for r in reports} == {0, 1})
 
     record = {

@@ -79,11 +79,27 @@ class TwoTowerSearch(BaseSearch):
         padded = _round_up(n, bs)
         if padded != n:
             ids = np.concatenate([ids, np.zeros((padded - n, self.max_length), np.int32)])
-        chunks = [
-            self._encode(self.params, jnp.asarray(ids[start:start + bs]), tower)
-            for start in range(0, padded, bs)
-        ]
-        out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        # bounded in-flight window: dispatching every chunk before any sync
+        # kept all inputs + outputs resident in HBM simultaneously, so a very
+        # large corpus lost the per-chunk memory bound. Merging every
+        # MAX_INFLIGHT chunks (inputs become collectable) and blocking on the
+        # previous merge keeps device memory O(window), still with zero
+        # blocking transfers of the result itself.
+        MAX_INFLIGHT = 64
+        chunks: List[jnp.ndarray] = []
+        merged: List[jnp.ndarray] = []
+        for start in range(0, padded, bs):
+            chunks.append(
+                self._encode(self.params, jnp.asarray(ids[start:start + bs]), tower)
+            )
+            if len(chunks) >= MAX_INFLIGHT:
+                if merged:
+                    merged[-1].block_until_ready()
+                merged.append(jnp.concatenate(chunks))
+                chunks = []
+        if chunks:
+            merged.append(chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks))
+        out = merged[0] if len(merged) == 1 else jnp.concatenate(merged)
         return out[:n]
 
     def _encode_texts(self, texts: Sequence[str], tower: str) -> np.ndarray:
@@ -127,11 +143,15 @@ class TwoTowerSearch(BaseSearch):
         scores, indices = self._topk_fn(top_k)(
             self._doc_matrix, q_vecs, jnp.int32(self._n_docs)
         )
-        # single packed readback; f32 holds doc indices exactly below 2^24
+        # single packed readback; indices ride as their int32 BIT PATTERNS
+        # (bitcast, not value cast), so the packing is exact at any corpus
+        # size — a value cast to f32 silently rounds indices above 2^24
         packed = np.asarray(jnp.concatenate(
-            [scores.astype(jnp.float32), indices.astype(jnp.float32)], axis=1))
+            [scores.astype(jnp.float32),
+             jax.lax.bitcast_convert_type(
+                 indices.astype(jnp.int32), jnp.float32)], axis=1))
         scores = packed[:, :top_k]
-        indices = packed[:, top_k:].astype(np.int32)
+        indices = packed[:, top_k:].view(np.int32)
         return [
             [(self.documents[int(i)], float(s)) for s, i in zip(qs, qi)]
             for qs, qi in zip(scores, indices)

@@ -107,48 +107,65 @@ class VectorCollection:
         score+top-k launch: the doc matrix lives on-device, normalised,
         between queries (rebuilt only after adds — ``_device_index``).
         """
+        import jax
         import jax.numpy as jnp
 
         from ..ops.topk_score import score_topk
 
-        with self._lock:
-            if self._embeddings is None or not len(self._ids):
-                return {"ids": [[]], "documents": [[]], "distances": [[]],
-                        "metadatas": [[]]}
-            device_unit, n = self._device_index()
+        # scores are computed against a device snapshot taken under the
+        # first lock; if an add() OVERWRITES a record between the two
+        # critical sections, position i's text would no longer match the
+        # embedding that was scored. The version captured with the snapshot
+        # detects that and retries; after MAX_RETRIES consecutive bumps
+        # (sustained write load) the last result is returned, at most one
+        # write-batch stale — documented staleness, never a silent mismatch.
+        MAX_RETRIES = 3
+        for attempt in range(MAX_RETRIES + 1):
+            with self._lock:
+                if self._embeddings is None or not len(self._ids):
+                    return {"ids": [[]], "documents": [[]], "distances": [[]],
+                            "metadatas": [[]]}
+                device_unit, n = self._device_index()
+                version = self._version
 
-        if isinstance(query_embeddings, jnp.ndarray):
-            # already on device (serving fast path): normalise there and do
-            # NOT round-trip through host — the final result readback is
-            # then the query's only blocking transfer
-            queries = jnp.atleast_2d(query_embeddings.astype(jnp.float32))
-            q_norm = queries / jnp.maximum(
-                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-8)
-        else:
-            host = np.atleast_2d(np.asarray(query_embeddings, np.float32))
-            q_norm = jnp.asarray(host / np.maximum(
-                np.linalg.norm(host, axis=1, keepdims=True), 1e-8))
-        k = min(n_results, n)
-        scores, indices = score_topk(device_unit, q_norm, k, jnp.int32(n))
-        # one packed readback instead of two (each blocking transfer costs a
-        # full relay round-trip); f32 holds doc indices exactly below 2^24
-        packed = np.asarray(jnp.concatenate(
-            [scores.astype(jnp.float32), indices.astype(jnp.float32)], axis=1))
-        scores = packed[:, :k]
-        indices = packed[:, k:].astype(np.int32)
-        with self._lock:
-            # positions < n are append-only stable; index directly under
-            # the lock instead of copying the full lists every query
-            return {
-                "ids": [[self._ids[int(i)] for i in row] for row in indices],
-                "documents": [[self._documents[int(i)] for i in row]
-                              for row in indices],
-                "metadatas": [[self._metadatas[int(i)] for i in row]
-                              for row in indices],
-                # cosine distance, as chroma reports
-                "distances": [[float(1.0 - s) for s in row]
-                              for row in scores],
-            }
+            if isinstance(query_embeddings, jnp.ndarray):
+                # already on device (serving fast path): normalise there and
+                # do NOT round-trip through host — the final result readback
+                # is then the query's only blocking transfer
+                queries = jnp.atleast_2d(query_embeddings.astype(jnp.float32))
+                q_norm = queries / jnp.maximum(
+                    jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-8)
+            else:
+                host = np.atleast_2d(np.asarray(query_embeddings, np.float32))
+                q_norm = jnp.asarray(host / np.maximum(
+                    np.linalg.norm(host, axis=1, keepdims=True), 1e-8))
+            k = min(n_results, n)
+            scores, indices = score_topk(device_unit, q_norm, k, jnp.int32(n))
+            # one packed readback instead of two (each blocking transfer
+            # costs a full relay round-trip); indices ride as int32 BIT
+            # PATTERNS (bitcast), exact at any corpus size — a value cast
+            # to f32 silently rounds indices above 2^24
+            packed = np.asarray(jnp.concatenate(
+                [scores.astype(jnp.float32),
+                 jax.lax.bitcast_convert_type(
+                     indices.astype(jnp.int32), jnp.float32)], axis=1))
+            scores = packed[:, :k]
+            indices = packed[:, k:].view(np.int32)
+            with self._lock:
+                if self._version != version and attempt < MAX_RETRIES:
+                    continue  # records moved under us; rescore on fresh state
+                # positions < n are append-only stable; index directly under
+                # the lock instead of copying the full lists every query
+                return {
+                    "ids": [[self._ids[int(i)] for i in row] for row in indices],
+                    "documents": [[self._documents[int(i)] for i in row]
+                                  for row in indices],
+                    "metadatas": [[self._metadatas[int(i)] for i in row]
+                                  for row in indices],
+                    # cosine distance, as chroma reports
+                    "distances": [[float(1.0 - s) for s in row]
+                                  for row in scores],
+                }
 
     def count(self) -> int:
         return len(self._ids)
