@@ -35,7 +35,10 @@ similarity stats stay live — nothing is dead code XLA can eliminate), each
 step consumes a different batch from a device-resident pool indexed by the
 scan counter (so per-step input work — one_hot, masks — cannot be hoisted
 out of the loop), and a single scalar is read back. Per-step device time is
-(T(N) - T(1)) / (N - 1), best of 3 trials; a noise-inverted measurement
+(T(N) - T(1)) / (N - 1) — the median of TRIALS interleaved pairs, with the
+IQR and raw per-trial estimates published in the JSON so round-over-round
+comparisons see the dispersion (the r3-r4 records swung 0.599-0.854 ms on
+identical code from chip congestion alone); a noise-inverted measurement
 (T(N) <= T(1)) is an error, not a clamp.
 """
 
@@ -54,8 +57,27 @@ import numpy as np
 REFERENCE_PAIRS_PER_SEC = 6945.4  # torch-CPU reference, same host (BASELINE.md)
 
 CHAIN = 33   # steps chained per measurement scan
-TRIALS = 3
+TRIALS = 5   # interleaved T(1)/T(N) pairs per metric (median + IQR reported)
 POOL = 4     # distinct device-resident batches cycled inside the scan
+
+# measured single-chip RMW floor of the Pallas VMEM scatter-add backward:
+# 16.0 ms for 3.1M rows at 32k x 64 (SEG_BACKWARD.json / BASELINE.md) —
+# ~5.2 ns per colliding row; the word-vocab train step's speed-of-light is
+# this floor (the matmul/gather remainder is <8 ms and overlaps HBM streams)
+RMW_NS_PER_ROW = 16.0e6 / (3 * 16384 * 64)
+
+
+def _spread(values):
+    """Median + IQR summary over per-step trial estimates (seconds)."""
+    vals = sorted(values)
+    med = vals[len(vals) // 2]
+    if len(vals) >= 4:
+        q1 = vals[max(0, len(vals) // 4)]
+        q3 = vals[min(len(vals) - 1, (3 * len(vals)) // 4)]
+        iqr = q3 - q1
+    else:
+        iqr = vals[-1] - vals[0]
+    return {"median": med, "iqr": iqr, "trials": vals}
 
 # peak dense bf16 matmul throughput per chip, by device_kind substring
 # (ordered: first match wins)
@@ -149,8 +171,7 @@ def _measure_train(step, state_of, q_pool, p_pool, n_pool, weights,
     if not diffs:
         raise RuntimeError(
             f"noise-inverted measurement: every T({chain}) <= T(1) pair")
-    diffs.sort()
-    return diffs[len(diffs) // 2]
+    return _spread(diffs)
 
 
 def _bench_char_tower():
@@ -182,12 +203,15 @@ def _bench_char_tower():
     )
     weights = jax.device_put(np.ones(batch, np.float32))
 
-    per_step = _measure_train(
+    meas = _measure_train(
         step, lambda: create_train_state(params, optimizer), q, p, n, weights)
+    per_step = meas["median"]
     gflops = _char_flops(batch, seq, vocab, emb, hid) / 1e9
     return {
         "pairs_per_sec": batch / per_step,
         "step_time_ms": per_step * 1e3,
+        "step_time_iqr_ms": meas["iqr"] * 1e3,
+        "step_time_trials_ms": [round(t * 1e3, 4) for t in meas["trials"]],
         "gflops_per_step": gflops,
         "tflops": gflops / per_step / 1e3,
     }
@@ -224,14 +248,17 @@ def _bench_transformer_tower(vocab=8192, seq=48, batch=4096, emb=128,
     )
     weights = jax.device_put(np.ones(batch, np.float32))
 
-    per_step = _measure_train(
+    meas = _measure_train(
         step, lambda: create_train_state(params, optimizer), q, p, None,
         weights, chain=chain)
+    per_step = meas["median"]
     gflops = _tf_flops(batch, seq, emb, hid, layers) / 1e9
     return {
         "shape": f"vocab{vocab}_seq{seq}_emb{emb}_hid{hid}_L{layers}_b{batch}",
         "pairs_per_sec": round(batch / per_step, 1),
         "step_time_ms": round(per_step * 1e3, 3),
+        "step_time_iqr_ms": round(meas["iqr"] * 1e3, 3),
+        "step_time_trials_ms": [round(t * 1e3, 3) for t in meas["trials"]],
         "gflops_per_step": round(gflops, 2),
         "tflops": round(gflops / per_step / 1e3, 1),
     }
@@ -272,12 +299,24 @@ def _bench_word_vocab_tower():
     )
     weights = jax.device_put(np.ones(batch, np.float32))
 
-    per_step = _measure_train(
+    meas = _measure_train(
         step, lambda: create_train_state(params, optimizer), q, p, n, weights)
+    per_step = meas["median"]
+    # speed-of-light for this shape is the measured serial-RMW floor of the
+    # scatter-add backward (~5.2 ns/row, SEG_BACKWARD.json): 3 encoded texts
+    # x B x S colliding rows per step. The matmul+gather remainder is <8 ms
+    # (VOCAB_SCALING.json frozen rows), so floor/step is the roofline ratio.
+    rmw_rows = 3 * batch * seq
+    floor_ms = rmw_rows * RMW_NS_PER_ROW / 1e6
     return {
         "shape": f"vocab{vocab}_seq{seq}_emb{emb}_hid{hid}_b{batch}",
         "pairs_per_sec": round(batch / per_step, 1),
         "step_time_ms": round(per_step * 1e3, 3),
+        "step_time_iqr_ms": round(meas["iqr"] * 1e3, 3),
+        "step_time_trials_ms": [round(t * 1e3, 3) for t in meas["trials"]],
+        "rmw_rows_per_step": rmw_rows,
+        "rmw_floor_ms": round(floor_ms, 2),
+        "speed_of_light": round(floor_ms / (per_step * 1e3), 3),
     }
 
 
@@ -326,23 +365,30 @@ def _bench_index_qps(n_docs: int = 1_000_000, dim: int = 128, k: int = 10,
     chain = 13
     one, many = make_chained(1), make_chained(chain)
 
-    def best(fn):
-        out = float("inf")
+    def timed(fn):
+        t0 = time.perf_counter()
         float(fn(table0))
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
-            float(fn(table0))
-            out = min(out, time.perf_counter() - t0)
-        return out
+        return time.perf_counter() - t0
 
-    t1, tn = best(one), best(many)
-    if tn <= t1:
+    float(one(table0)), float(many(table0))  # compile both variants
+    # interleaved T(1)/T(N) pairs, median of diffs + IQR — same protocol and
+    # rationale as _measure_train (congestion windows must hit both sides)
+    diffs = []
+    for _ in range(TRIALS):
+        t1 = timed(one)
+        tn = timed(many)
+        if tn > t1:
+            diffs.append((tn - t1) / (chain - 1))
+    if not diffs:
         raise RuntimeError("noise-inverted QPS measurement")
-    per = (tn - t1) / (chain - 1)
+    meas = _spread(diffs)
+    per = meas["median"]
     return {
         "n_docs": n_docs, "dim": dim, "k": k, "q_batch": q_batch,
         "qps": round(q_batch / per, 1),
         "ms_per_batch": round(per * 1e3, 3),
+        "ms_per_batch_iqr": round(meas["iqr"] * 1e3, 3),
+        "ms_per_batch_trials": [round(t * 1e3, 3) for t in meas["trials"]],
         "doc_scan_gb_per_s": round(n_docs * dim * 2 / per / 1e9, 1),
     }
 
@@ -500,6 +546,8 @@ def main() -> int:
         "unit": "pairs/sec",
         "vs_baseline": round(char["pairs_per_sec"] / REFERENCE_PAIRS_PER_SEC, 2),
         "step_time_ms": round(char["step_time_ms"], 3),
+        "step_time_iqr_ms": round(char["step_time_iqr_ms"], 3),
+        "step_time_trials_ms": char["step_time_trials_ms"],
         "gflops_per_step": round(char["gflops_per_step"], 2),
         "tflops": round(char["tflops"], 1),
         "mfu": (round(char["tflops"] * 1e12 / peak, 3) if peak else None),

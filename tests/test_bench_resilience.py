@@ -69,6 +69,7 @@ def test_main_emits_partial_record_and_survives_extra_failure(
     monkeypatch.setattr(bench, "_acquire_device", lambda: _FakeDevice())
     monkeypatch.setattr(bench, "_bench_char_tower", lambda: {
         "pairs_per_sec": 1000.0, "step_time_ms": 1.0,
+        "step_time_iqr_ms": 0.05, "step_time_trials_ms": [0.98, 1.0, 1.02],
         "gflops_per_step": 10.0, "tflops": 10.0})
 
     def extra_dies():
