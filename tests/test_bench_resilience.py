@@ -139,3 +139,18 @@ class _Resolver:
     @property
     def parent(self):
         return self._root
+
+
+def test_spread_median_and_iqr():
+    """r5: every metric publishes median + IQR over interleaved trials."""
+    out = bench._spread([3.0, 1.0, 2.0, 5.0, 4.0])
+    assert out["median"] == 3.0
+    assert out["trials"] == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert out["iqr"] == pytest.approx(4.0 - 2.0)
+    # small-n fallback: full range
+    out3 = bench._spread([2.0, 1.0, 4.0])
+    assert out3["median"] == 2.0
+    assert out3["iqr"] == pytest.approx(3.0)
+    # singleton degenerates sanely (retry loops can yield one survivor)
+    out1 = bench._spread([1.5])
+    assert out1["median"] == 1.5 and out1["iqr"] == 0.0

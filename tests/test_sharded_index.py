@@ -48,6 +48,19 @@ class TestShardedDocIndex:
         )
         assert idx.max() < n
 
+    @pytest.mark.parametrize("num_shards", [1, 4])
+    def test_to_host_roundtrip(self, np_rng, num_shards):
+        # uneven count: 3 shards carry real rows, the padding tail is dropped
+        mesh = make_mesh(data=2, model=num_shards)
+        docs = np_rng.normal(size=(301, 16)).astype(np.float32)
+        index = ShardedDocIndex(mesh)
+        index.build(docs)
+        np.testing.assert_array_equal(index.to_host(), docs)
+
+    def test_to_host_before_build_raises(self):
+        with pytest.raises(RuntimeError, match="not built"):
+            ShardedDocIndex(make_mesh(data=1, model=2)).to_host()
+
     def test_search_before_build_raises(self):
         mesh = make_mesh(data=1, model=2)
         with pytest.raises(RuntimeError, match="not built"):

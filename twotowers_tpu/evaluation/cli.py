@@ -58,6 +58,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--max_length", type=int, default=None)
     parser.add_argument("--output", help="Write metric JSON here")
+    parser.add_argument(
+        "--ndcg_reference_compat", action="store_true",
+        help="Reproduce the reference's degenerate NDCG call shape "
+             "(affine in P@1) instead of the correct rank-ordered metric "
+             "— parity bookkeeping only")
     args = parser.parse_args(argv)
     if not args.test_data and not args.triplets:
         parser.error("Provide --test_data or --triplets")
@@ -77,6 +82,7 @@ def main(argv=None) -> int:
     results = evaluate_model(
         params, spec, test_data, tokenizer,
         k_values=args.k, batch_size=args.batch_size, max_length=max_length,
+        ndcg_reference_compat=args.ndcg_reference_compat,
     )
     print_evaluation_results(results)
     if args.output:
