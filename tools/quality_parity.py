@@ -330,6 +330,23 @@ def main() -> int:
             f"**MS MARCO pull attempt** (reference's L1/L3 data path): "
             f"{msmarco_status}\n",
         ]
+        seeds_path = REPO / "WORD_SEEDS.json"
+        if seeds_path.exists():
+            seeds = json.loads(seeds_path.read_text())
+            lines += [
+                "## Word-cell seed study (n=%d per side)" % seeds["seeds"],
+                "",
+                "Round-4's 3-seed word/triplet cell showed complete",
+                "separation; rerun at n=%d (tools/word_seeds.py," % seeds["seeds"],
+                "WORD_SEEDS.json): reference MRR %.4f ± %.4f vs ours"
+                % (seeds["reference_mean"], seeds["reference_sd"]),
+                "%.4f ± %.4f, exact Mann-Whitney two-sided p=%.2f —"
+                % (seeds["ours_mean"], seeds["ours_sd"], seeds["p_two_sided"]),
+                "overlapping distributions (ours wins several seeds);",
+                "the apparent deficit was 3-seed sampling noise. The",
+                "single-seed cells below are one draw from these",
+                "distributions.\n",
+            ]
         for name, cell in cells.items():
             ref = cell.get("reference", {})
             lines.append(f"## {name}"
