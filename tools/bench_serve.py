@@ -103,8 +103,27 @@ def build_service(n_docs: int):
     return service, docs, index_s
 
 
+def _bare_rtt_ms(repeats: int = 15) -> dict:
+    """One tiny dispatch+readback, repeated: the relay's floor for ANY
+    blocking transfer. /search p50 should sit within ~1.2x of this p50 —
+    publishing it makes each record self-calibrating against relay drift
+    (r4 measured ~26 ms; r5 saw ~34 ms on the same code)."""
+    import jax.numpy as jnp
+
+    x = jnp.ones(())
+    float(x + 1)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(x + 1)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return {"p50_ms": round(ts[len(ts) // 2], 1), "min_ms": round(ts[0], 1)}
+
+
 def main() -> int:
-    results = {"repeats": REPEATS, "corpora": []}
+    results = {"repeats": REPEATS, "corpora": [],
+               "bare_readback_rtt": _bare_rtt_ms()}
     for n_docs in (1_000, 10_000, 100_000):
         service, docs, index_s = build_service(n_docs)
         query = "how does the learning system compare approaches"
