@@ -359,3 +359,32 @@ class TestMultiHostPaths:
             losses.append(float(metrics["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestRecommendModelParallelism:
+    """The measurement-backed auto-sharding rule (VOCAB_SCALING.json
+    sharded_projection): minimum model-axis factor whose per-shard f32
+    accumulator fits the scatter-add kernel's VMEM budget."""
+
+    def test_small_vocab_stays_unsharded(self):
+        from twotowers_tpu.parallel import recommend_model_parallelism
+        assert recommend_model_parallelism(32_768, 64, max_shards=8) == 1
+
+    def test_word_scale_vocab_wants_4way(self):
+        from twotowers_tpu.parallel import recommend_model_parallelism
+        # 102,400 x 64: 51,200 rows (2-way) still exceeds the budget,
+        # 25,600 (4-way) fits — the measured regime boundary
+        assert recommend_model_parallelism(102_400, 64, max_shards=8) == 4
+
+    def test_caps_at_max_shards(self):
+        from twotowers_tpu.parallel import recommend_model_parallelism
+        assert recommend_model_parallelism(102_400, 64, max_shards=2) == 2
+
+    def test_agrees_with_kernel_predicate(self):
+        from twotowers_tpu.kernels.pallas_scatter_add import scatter_add_supported
+        from twotowers_tpu.parallel import recommend_model_parallelism
+        for vocab in (96, 8_192, 32_768, 102_400, 500_000):
+            shards = recommend_model_parallelism(vocab, 64, max_shards=64)
+            assert scatter_add_supported(-(-vocab // shards), 64)
+            if shards > 1:  # minimality
+                assert not scatter_add_supported(-(-vocab // (shards // 2)), 64)

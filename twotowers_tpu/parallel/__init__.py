@@ -2,7 +2,8 @@
 
 from .collectives import global_in_batch_loss, sharded_topk_merge
 from .embedding_shard import pad_table_for_sharding, sharded_embed_ids
-from .mesh import DATA_AXIS, MODEL_AXIS, initialize_distributed, make_mesh, mesh_shape
+from .mesh import (DATA_AXIS, MODEL_AXIS, initialize_distributed, make_mesh,
+                   mesh_shape, recommend_model_parallelism)
 from .sharding import batch_sharding, pad_batch_to_multiple, param_specs, shard_params
 from .train import (
     create_sharded_train_state,
@@ -24,6 +25,7 @@ __all__ = [
     "make_sharded_eval_step",
     "make_sharded_train_step",
     "mesh_shape",
+    "recommend_model_parallelism",
     "pad_batch_to_multiple",
     "pad_table_for_sharding",
     "param_specs",

@@ -68,3 +68,38 @@ def make_mesh(
 
 def mesh_shape(mesh: Mesh) -> Tuple[int, int]:
     return mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+
+
+def recommend_model_parallelism(vocab_size: int, embedding_dim: int,
+                                max_shards: Optional[int] = None) -> int:
+    """Smallest model-axis size that puts the embedding backward in the
+    fast regime; spend the remaining devices on the data axis.
+
+    Measured basis (VOCAB_SCALING.json ``sharded_projection``,
+    tools/bench_sharded_vocab.py): the trainable word step runs at the
+    Pallas VMEM scatter-add floor (~25 ms at the bench shape) whenever the
+    per-shard f32 accumulator fits the kernel's VMEM budget, and at the
+    ~2.3x slower XLA-scatter fallback otherwise — so a 102,400 x 64 vocab
+    wants >=4-way sharding (25,600 rows/shard), while 2-way (51,200 rows)
+    buys nothing. More shards than necessary also buy nothing per chip
+    (every chip streams the full cotangent stream regardless), so this
+    returns the MINIMUM sufficient factor.
+
+    ``max_shards`` defaults to the local device count. Returns a power of
+    two <= max_shards; if even max_shards cannot fit the accumulator, the
+    largest allowed factor is returned (best available).
+    """
+    from ..kernels.pallas_scatter_add import scatter_add_supported
+
+    if max_shards is None:
+        max_shards = jax.device_count()
+    shards = 1
+    while not scatter_add_supported(-(-vocab_size // shards), embedding_dim):
+        if shards * 2 > max_shards:
+            logger.warning(
+                "vocab %d x %d does not reach the VMEM scatter regime even "
+                "at model=%d; embedding backward will use the XLA fallback",
+                vocab_size, embedding_dim, shards)
+            break
+        shards *= 2
+    return shards
