@@ -180,3 +180,24 @@ class TestEvaluateModel:
                                   "mrr": 0.6, "ndcg@5": 0.8})
         out = capsys.readouterr().out
         assert "Precision" in out and "MRR: 0.6000" in out
+
+
+class TestEncoderWindow:
+    def test_windowed_encode_matches_single_window(self, rng):
+        """r5: the evaluation encoder's bounded in-flight window (merge every
+        64 chunks) must not change results."""
+        from twotowers_tpu.evaluation.evaluate import _Encoder
+
+        tok = CharTokenizer().fit(["some corpus text"])
+        spec = TwoTowerSpec(
+            embedding=EmbeddingSpec(kind="lookup", vocab_size=tok.vocab_size,
+                                    embedding_dim=8),
+            tower=TowerSpec(arch="mean", embedding_dim=8, hidden_dim=16),
+            tied_weights=True,
+        )
+        params = init_two_tower(rng, spec)
+        texts = [f"text {i}" for i in range(135)]  # 68 chunks at bs=2
+        small = _Encoder(params, spec, tok, max_length=12, batch_size=2)
+        big = _Encoder(params, spec, tok, max_length=12, batch_size=256)
+        np.testing.assert_allclose(small(texts, "document"),
+                                   big(texts, "document"), atol=1e-6)

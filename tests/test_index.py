@@ -90,6 +90,19 @@ class TestTwoTowerSearch:
         assert results[0][0] == DOCS[2]
         assert results[0][1] == pytest.approx(1.0, abs=1e-4)
 
+    def test_windowed_encode_matches_single_window(self, trained_like_model):
+        """r5: the bounded in-flight dispatch window (merge every 64 chunks)
+        must be a pure memory optimisation — identical vectors either way."""
+        params, spec, tok = trained_like_model
+        search = TwoTowerSearch(params, spec, tok, max_length=16,
+                                encode_batch_size=2)
+        texts = [f"doc number {i}" for i in range(135)]  # 68 chunks > window
+        windowed = search._encode_texts(texts, "document")
+        big = TwoTowerSearch(params, spec, tok, max_length=16,
+                             encode_batch_size=256)
+        single = big._encode_texts(texts, "document")
+        np.testing.assert_allclose(windowed, single, atol=1e-6)
+
     def test_top_k_clamped_to_corpus(self, trained_like_model):
         params, spec, tok = trained_like_model
         search = TwoTowerSearch(params, spec, tok, max_length=16)
