@@ -195,18 +195,47 @@ def _on_tpu() -> bool:
         return False
 
 
+def _auto_tile(q: int, dim: int, itemsize: int) -> int:
+    """Largest doc tile whose VMEM footprint stays safe for this Q.
+
+    Measured (TOPK_TILE_SWEEP.json, two independent rounds): at Q=1 the
+    16384-row tile is consistently fastest (~0.75-0.81 ms vs 0.81-1.36 at
+    2048 over 1M x 128 — fewer grid steps amortise per-step DMA/update
+    overhead), while at Q=256 larger tiles OOM scoped VMEM (the (Q, T) f32
+    merge workspace dominates) and 4096 measured no better than 2048. So:
+    grow the tile only while the workspace term stays small (<=2 MB, which
+    leaves Q=256 exactly at the proven 2048 default) and the doc
+    double-buffer + workspace fit comfortably under the 16 MB scoped
+    budget."""
+    q_padded = _round_up(max(q, 1), 8)
+    tile = DEFAULT_TILE_N
+    for cand in (4096, 8192, 16384):
+        workspace = q_padded * cand * 4
+        doc_buffers = 2 * cand * dim * itemsize
+        if workspace <= 2 * 1024 * 1024 and \
+                workspace + doc_buffers <= 12 * 1024 * 1024:
+            tile = cand
+    return tile
+
+
 def score_topk_pallas(
     doc_matrix: jnp.ndarray,
     queries: jnp.ndarray,
     k: int,
     n_docs=None,
     *,
-    tile_n: int = DEFAULT_TILE_N,
+    tile_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """ops.topk_score-compatible entry; returns None for shapes it declines
     (huge k, tiny corpora where XLA's one-shot path wins)."""
     n, dim = doc_matrix.shape
+    if tile_n is None:
+        tile_n = _auto_tile(queries.shape[0], dim, doc_matrix.dtype.itemsize)
+        # shrink for mid-size corpora so the kernel stays applicable down
+        # to the same 2*DEFAULT_TILE_N threshold as before
+        while tile_n > DEFAULT_TILE_N and n < 2 * tile_n:
+            tile_n //= 2
     if k > 256 or n < 2 * tile_n:
         return None
     if queries.shape[0] > 1024:
