@@ -415,3 +415,120 @@ class TestHostedWandbReports:
         empty.mkdir()
         with pytest.raises(ValueError, match="No metrics"):
             create_wandb_report(str(empty), project="p")
+
+
+class _FakeChromaCollection:
+    """Minimal in-memory stand-in for a chromadb HTTP collection."""
+
+    def __init__(self):
+        self._store = {}  # id -> (embedding, document, metadata)
+
+    def upsert(self, ids, embeddings, documents, metadatas):
+        for i, e, d, m in zip(ids, embeddings, documents, metadatas):
+            self._store[i] = (np.asarray(e, np.float32), d, m)
+
+    def count(self):
+        return len(self._store)
+
+    def query(self, query_embeddings, n_results, include):
+        q = np.asarray(query_embeddings, np.float32)
+        ids = list(self._store)
+        mat = np.stack([self._store[i][0] for i in ids])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mat.T
+        out = {"ids": [], "documents": [], "distances": [], "metadatas": []}
+        for row in sims:
+            order = np.argsort(-row)[:n_results]
+            out["ids"].append([ids[j] for j in order])
+            out["documents"].append([self._store[ids[j]][1] for j in order])
+            out["distances"].append([float(1 - row[j]) for j in order])
+            out["metadatas"].append([self._store[ids[j]][2] for j in order])
+        return out
+
+
+class _FakeChromaClient:
+    def __init__(self):
+        self.collections = {}
+
+    def get_or_create_collection(self, name, metadata=None):
+        return self.collections.setdefault(name, _FakeChromaCollection())
+
+
+class TestChromaCollection:
+    """The reference's ChromaDB backend contract, against a stub client
+    (chromadb is not installed in this image — same pattern as the wandb
+    stub tests above)."""
+
+    def _make(self):
+        from twotowers_tpu.serve.chroma import ChromaCollection
+        return ChromaCollection("docs", client=_FakeChromaClient())
+
+    def test_add_query_roundtrip(self):
+        col = self._make()
+        base = np.eye(3, 8, dtype=np.float32)
+        assert col.add(["x", "y", "z"], base, ["dx", "dy", "dz"],
+                       [{"k": 1}, {"k": 2}, {"k": 3}]) == 3
+        assert col.count() == 3
+        got = col.query(base[1], n_results=2)
+        assert got["ids"][0][0] == "y"
+        assert got["documents"][0][0] == "dy"
+        assert got["metadatas"][0][0] == {"k": 2}
+        assert got["distances"][0][0] == pytest.approx(0.0, abs=1e-6)
+
+    def test_upsert_semantics_match_inprocess_store(self):
+        col = self._make()
+        col.add(["a"], _unit(np.ones((1, 4))), ["old"])
+        col.add(["a"], _unit(np.ones((1, 4))), ["new"])
+        assert col.count() == 1
+        assert col.query(_unit(np.ones((1, 4))), 1)["documents"][0][0] == "new"
+
+    def test_empty_query(self):
+        col = self._make()
+        assert col.query(np.ones((1, 4), np.float32))["ids"] == [[]]
+
+    def test_dim_mismatch_raises(self):
+        col = self._make()
+        col.add(["a"], np.ones((1, 4), np.float32), ["d"])
+        with pytest.raises(ValueError, match="dim mismatch"):
+            col.add(["b"], np.ones((1, 8), np.float32), ["d2"])
+
+    def test_service_runs_against_chroma_backend(self):
+        # RetrievalService is backend-agnostic: the full add/search route
+        # logic must work unchanged over the Chroma adapter
+        from twotowers_tpu.serve.service import RetrievalService
+
+        class _Enc:
+            output_dim = 4
+
+            def encode(self, texts, tower="query"):
+                rng = np.random.default_rng(len("".join(texts)))
+                return _unit(rng.normal(size=(len(texts), 4)))
+
+        svc = RetrievalService(model=_Enc(), collection=self._make())
+        svc.add(["doc one", "doc two"], ids=["1", "2"])
+        out = svc.search("doc one", top_k=2)
+        assert len(out["results"]) == 2
+        assert {r["id"] for r in out["results"]} == {"1", "2"}
+
+    def test_collection_from_env_falls_back_without_chroma(self, monkeypatch):
+        # CHROMA_HOST set but chromadb unimportable/unreachable -> in-process
+        # store, soft-fail (reference app.py:167-169 parity)
+        from twotowers_tpu.serve.chroma import collection_from_env
+        from twotowers_tpu.serve.store import VectorCollection
+
+        monkeypatch.setenv("CHROMA_HOST", "nowhere.invalid")
+        col = collection_from_env("docs")
+        assert isinstance(col, VectorCollection)
+
+    def test_collection_from_env_default_inprocess(self, monkeypatch):
+        from twotowers_tpu.serve.chroma import collection_from_env
+        from twotowers_tpu.serve.store import VectorCollection
+
+        monkeypatch.delenv("CHROMA_HOST", raising=False)
+        assert isinstance(collection_from_env("docs"), VectorCollection)
+
+    def test_load_directs_to_reconnect(self):
+        from twotowers_tpu.serve.chroma import ChromaCollection
+        with pytest.raises(NotImplementedError, match="reconnect"):
+            ChromaCollection.load("some/path")

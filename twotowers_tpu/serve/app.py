@@ -25,7 +25,6 @@ import numpy as np
 
 from ..utils.logging import get_logger, setup_logging
 from .service import RetrievalService, ServiceError
-from .store import VectorCollection
 
 logger = get_logger("serve.app")
 
@@ -91,9 +90,13 @@ def create_app():
             "fastapi is not installed; `pip install fastapi uvicorn` to serve"
         )
 
+    from .chroma import collection_from_env
+
     app = FastAPI(title="two-tower retrieval service")
+    # CHROMA_HOST set -> ChromaDB sidecar (the reference's backend, soft-
+    # failing back to in-process); else the device-resident store
     service = RetrievalService(model=None,
-                               collection=VectorCollection("documents"))
+                               collection=collection_from_env("documents"))
 
     class EmbedRequest(BaseModel):
         texts: List[str]
