@@ -589,11 +589,12 @@ def main() -> int:
     # transformer rows: the reference-era small shape (head_dim 32 / L 48 —
     # lane-padding-bound, see BASELINE.md "Transformer tower MFU") and an
     # MXU-aligned shape (head_dim 128 / L 128) that shows the code's ceiling.
-    # 200 ms steps: a 9-step chain keeps the measurement differenced and
-    # relay-proof while saving ~5 min of driver wall-clock vs CHAIN=33
+    # 200 ms steps: a 17-step chain keeps the measurement differenced and
+    # relay-proof at ~half the per-trial noise of 9 while still saving
+    # minutes of driver wall-clock vs CHAIN=33 (chain 9 left a 25% IQR)
     tf_mxu = functools.partial(_bench_transformer_tower, vocab=8192, seq=128,
                                batch=1024, emb=512, hid=512, layers=4,
-                               heads=4, chain=9)
+                               heads=4, chain=17)
     for name, fn in (("transformer_tower_train", _bench_transformer_tower),
                      ("transformer_tower_mxu_shape", tf_mxu),
                      ("word_vocab_32k_train", _bench_word_vocab_tower),
